@@ -1,0 +1,145 @@
+"""Typed configuration with the reference's full knob surface.
+
+The reference reads a single YAML into an untyped dict
+(``src/easyrag/utils/__init__.py:4-9``) keyed throughout
+``src/easyrag/pipeline/pipeline.py``. Here the same knobs (same names, same
+integer encodings, same defaults as ``src/configs/easyrag.yaml``) become a
+validated dataclass, plus a ``tpu`` section for mesh/sharding/precision
+choices that have no reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class TPUConfig:
+    """TPU-native execution knobs (new; no reference equivalent)."""
+
+    mesh_shape: Optional[List[int]] = None  # None -> all devices on one axis
+    mesh_axis_names: List[str] = field(default_factory=lambda: ["data"])
+    # dense index + score dtypes
+    index_dtype: str = "bfloat16"
+    accum_dtype: str = "float32"
+    # use Pallas kernels where available (else pure-XLA fallbacks)
+    use_pallas: bool = True
+    # max tokenized query terms / gathered postings per query (static shapes)
+    max_query_terms: int = 64
+    max_query_postings: int = 32768
+    # query microbatch for batched retrieval
+    query_batch: int = 8
+
+
+@dataclass
+class EasyRAGConfig:
+    # -- pipeline modes (easyrag.yaml:1-3) --
+    rerank_fusion_type: int = 0  # 0 none | 1 rrf of two routes | 2 longest | 3 concat
+    ans_refine_type: int = 0  # 0 none | 1 LLM merge w/ top1 | 2 concat top1
+
+    # -- coarse ranking (easyrag.yaml:5-11) --
+    re_only: bool = False
+    retrieval_type: int = 2  # 1 dense | 2 sparse | 3 hybrid
+    f_topk: int = 256  # hybrid fusion topk
+    f_topk_1: int = 288  # dense coarse topk
+    f_topk_2: int = 192  # sparse coarse topk
+    f_topk_3: int = 6  # know-path route topk (0 disables the route)
+
+    # -- dense retriever (easyrag.yaml:13-18) --
+    reindex: bool = False
+    embedding_name: str = "Alibaba-NLP/gte-Qwen2-7B-instruct"
+    vector_size: int = 3584
+    cache_path: str = "cache"
+    collection_name: str = "aiops24"
+
+    # -- sparse retriever (easyrag.yaml:20-21) --
+    bm25_type: int = 0  # 0 okapi (epsilon IDF floor) | 1 eager/robertson (bm25s)
+
+    # -- reranker (easyrag.yaml:23-29) --
+    r_topk: int = 6
+    r_topk_1: int = 6
+    reranker_name: str = "BAAI/bge-reranker-v2-minicpm-layerwise"
+    use_reranker: int = 2  # 0 none | 1 cross-encoder | 2 layerwise LLM reranker
+    r_embed_bs: int = 32
+    r_use_efficient: int = 0  # 0 off | 1 max-prob early exit | 2 entropy early exit
+
+    # -- generation (easyrag.yaml:31-37) --
+    llm_keys: List[str] = field(default_factory=list)
+    llm_name: str = "glm-4"
+    llm_api_base: str = "https://open.bigmodel.cn/api/paas/v4/"
+    llm_embed_type: int = 3
+
+    # -- content view encodings (easyrag.yaml:39-42) --
+    f_embed_type_1: int = 1  # dense document view
+    f_embed_type_2: int = 2  # sparse document view
+    r_embed_type: int = 1  # rerank document view
+
+    # -- chunking (easyrag.yaml:44-47) --
+    split_type: int = 0  # 0 sentence | 1 hierarchical
+    chunk_size: int = 1024
+    chunk_overlap: int = 200
+
+    # -- paths (easyrag.yaml:49-52) --
+    data_path: str = "../data/format_data_with_img"
+    hfmodel_cache_folder: str = ""
+    stopwords_path: str = ""  # default: packaged HIT list
+    index_artifact_path: str = ""  # on-disk index artifact (qdrant-collection analog)
+
+    # -- local LLM (easyrag.yaml:54-55) --
+    local_llm_name: str = ""
+
+    # -- context compression (easyrag.yaml:57-59) --
+    compress_method: str = ""  # "" | bm25_extract | llmlingua | longllmlingua
+    compress_rate: float = 0.5
+
+    # -- HyDE (easyrag.yaml:61-63) --
+    hyde: bool = False
+    hyde_merging: bool = False
+
+    # -- TPU execution --
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+
+    def __post_init__(self) -> None:
+        if self.chunk_overlap > self.chunk_size:
+            raise ValueError(
+                f"chunk_overlap ({self.chunk_overlap}) > chunk_size ({self.chunk_size})"
+            )
+        if self.retrieval_type not in (1, 2, 3):
+            raise ValueError(f"retrieval_type must be 1|2|3, got {self.retrieval_type}")
+        if self.use_reranker not in (0, 1, 2):
+            raise ValueError(f"use_reranker must be 0|1|2, got {self.use_reranker}")
+        if self.bm25_type not in (0, 1):
+            raise ValueError(f"bm25_type must be 0|1, got {self.bm25_type}")
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "EasyRAGConfig":
+        known = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs: Dict[str, Any] = {}
+        extra: Dict[str, Any] = {}
+        for key, value in raw.items():
+            if key == "tpu" and isinstance(value, dict):
+                kwargs["tpu"] = TPUConfig(**value)
+            elif key in known:
+                kwargs[key] = value
+            else:
+                extra[key] = value
+        cfg = cls(**kwargs)
+        # tolerate reference-yaml keys we intentionally don't model
+        cfg.extra = extra  # type: ignore[attr-defined]
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+
+def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> EasyRAGConfig:
+    """YAML -> :class:`EasyRAGConfig`, CLI-override merge like ``main.py:30-32``."""
+    with open(path, "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+    if overrides:
+        raw.update(overrides)
+    return EasyRAGConfig.from_dict(raw)

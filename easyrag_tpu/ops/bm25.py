@@ -1,0 +1,97 @@
+"""Device-side BM25 query scoring.
+
+The host gathers the query's posting slices into static-shape buffers
+(``SparseIndex.gather_postings``); the device turns them into a dense score
+vector and a filtered top-k. Two implementations:
+
+* :func:`bm25_scores` — XLA scatter-add (works on every backend, used as the
+  correctness reference and for interpret-mode tests).
+* :func:`bm25_scores_pallas` (``ops/bm25_pallas.py``) — a Pallas kernel that
+  rewrites the scatter as a one-hot matmul per doc tile so the accumulation
+  runs on the MXU instead of serialized vector stores.
+
+Padding convention: ``doc_ids == num_docs`` marks padding; the scatter drops
+out-of-range indices (``mode="drop"``), and the Pallas kernel's tile mask
+never matches the sentinel.
+
+Replicated reference semantics for the top-k filter
+(``src/easyrag/custom/retrievers.py:191-210``):
+  * rank by ``argsort()[::-1]`` order (ties by descending doc index)
+  * entries with ``score <= 0`` are dropped
+  * optional metadata equality filter (the ``dir`` column) drops non-matching
+    docs *without* consuming top-k slots.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .topk import topk_desc_reference_order
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def bm25_scores(doc_ids: jnp.ndarray, vals: jnp.ndarray, num_docs: int) -> jnp.ndarray:
+    """Dense score vector from gathered postings via scatter-add.
+
+    ``doc_ids``/``vals`` may be rank-1 ``[P]`` or batched ``[B, P]``.
+    """
+    if doc_ids.ndim == 2:
+        return jax.vmap(lambda d, v: bm25_scores(d, v, num_docs))(doc_ids, vals)
+    scores = jnp.zeros((num_docs,), dtype=jnp.float32)
+    return scores.at[doc_ids].add(vals, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("num_docs", "k", "use_pallas"))
+def bm25_score_topk(
+    doc_ids: jnp.ndarray,
+    vals: jnp.ndarray,
+    num_docs: int,
+    k: int,
+    dir_col: Optional[jnp.ndarray] = None,
+    dir_filter: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Score + filter + top-k in one jitted step.
+
+    Args:
+      doc_ids, vals: gathered postings, ``[P]`` or ``[B, P]``.
+      num_docs: corpus size N.
+      k: top-k size.
+      dir_col: optional ``[N]`` int32 metadata column.
+      dir_filter: optional scalar (or ``[B]``) int32; -1 disables filtering.
+      use_pallas: route the scatter through the Pallas one-hot-matmul kernel.
+
+    Returns:
+      (scores[k], indices[k]) (batched if inputs are batched). Dropped
+      entries (score <= 0 after filtering, or filtered out) appear with
+      score ``-inf`` and index ``num_docs``; callers truncate on the first
+      ``-inf`` — ordering up to that point matches the reference exactly.
+    """
+    if use_pallas:
+        from .bm25_pallas import bm25_scores_pallas
+
+        scores = bm25_scores_pallas(doc_ids, vals, num_docs)
+    else:
+        scores = bm25_scores(doc_ids, vals, num_docs)
+
+    def one(scores_1d, dir_f):
+        s = scores_1d
+        if dir_col is not None and dir_f is not None:
+            keep = jnp.logical_or(dir_f < 0, dir_col == dir_f)
+            s = jnp.where(keep, s, NEG_INF)
+        # reference drops score <= 0 (retrievers.py:195-196)
+        s = jnp.where(s > 0, s, NEG_INF)
+        top_vals, top_idx = topk_desc_reference_order(s, k)
+        top_idx = jnp.where(jnp.isfinite(top_vals), top_idx, num_docs)
+        return top_vals, top_idx
+
+    if doc_ids.ndim == 2:
+        if dir_filter is None:
+            return jax.vmap(lambda s: one(s, None))(scores)
+        return jax.vmap(one)(scores, dir_filter)
+    return one(scores, dir_filter)

@@ -1,0 +1,278 @@
+"""Retrievers: sparse (BM25), dense (flat cosine), hybrid fusion.
+
+Behavioral mirror of ``src/easyrag/custom/retrievers.py`` on top of the
+TPU-resident indexes:
+
+* :class:`BM25Retriever` — jieba+stopword tokenization, full-corpus scoring,
+  ``filter()`` semantics (rank desc, drop score<=0, ``dir`` equality filter,
+  top-k) — device path via ``ops.bm25.bm25_score_topk``.
+* :class:`DenseRetriever` — query embedding -> fused matmul+top-k over the
+  HBM matrix (the ``QdrantRetriever`` replacement, ``retrievers.py:23-69``).
+* :class:`HybridRetriever` — ``fusion`` (content dedup + score sort,
+  ``retrievers.py:239-253``) and ``reciprocal_rank_fusion`` (K=60,
+  ``retrievers.py:256-274``); route dispatch per ``retrieval_type``
+  (``retrievers.py:276-291``).
+
+Design note (TPU-first): retrievers hold *array* indexes; the node list is a
+host-side column. Queries can be scored one-off (online serving) or in
+static-shape batches (offline eval) without changing results.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .corpus.tokenizer import tokenize_and_remove_stopwords
+from .corpus.views import get_node_content
+from .index.dense import DenseIndex
+from .index.sparse import SparseIndex, build_sparse_index
+from .ops.bm25 import bm25_score_topk
+from .schema import NodeWithScore, QueryBundle, TextNode
+
+
+class BM25Retriever:
+    """Sparse retriever over one ``embed_type`` view of the node list."""
+
+    def __init__(
+        self,
+        nodes: List[TextNode],
+        tokenizer,
+        stopwords,
+        similarity_top_k: int = 192,
+        embed_type: int = 0,
+        bm25_type: int = 0,
+        max_query_postings: int = 32768,
+        use_pallas: bool = False,
+        use_device: bool = True,
+    ) -> None:
+        self._nodes = nodes
+        self._tokenizer = tokenizer
+        self.stopwords = stopwords
+        self._similarity_top_k = similarity_top_k
+        self.embed_type = embed_type
+        self.bm25_type = bm25_type
+        self.k1, self.b, self.epsilon = 1.5, 0.75, 0.25
+        self.max_query_postings = max_query_postings
+        self.use_pallas = use_pallas
+        self.use_device = use_device
+        self.filter_dict: Optional[Dict[str, str]] = None
+
+        corpus_tokens = [
+            tokenize_and_remove_stopwords(
+                tokenizer, get_node_content(node, embed_type), stopwords
+            )
+            for node in nodes
+        ]
+        dirs = [node.metadata.get("dir", "") for node in nodes]
+        self.index: SparseIndex = build_sparse_index(
+            corpus_tokens,
+            bm25_type=bm25_type,
+            k1=self.k1,
+            b=self.b,
+            epsilon=self.epsilon,
+            dirs=dirs,
+        )
+        self._dir_col = (
+            jnp.asarray(self.index.dir_ids) if self.index.dir_ids is not None else None
+        )
+
+    # -- scoring -------------------------------------------------------------
+
+    def _tokenize_query(self, query: str) -> List[str]:
+        return tokenize_and_remove_stopwords(self._tokenizer, query, self.stopwords)
+
+    def get_scores(self, query: str, docs: Optional[Sequence[str]] = None) -> np.ndarray:
+        """Full score vector. With ``docs`` given, builds a throwaway index
+        over the ad-hoc texts (compressor path, ``retrievers.py:128-151``)."""
+        if docs is None:
+            index = self.index
+        else:
+            corpus_tokens = [
+                tokenize_and_remove_stopwords(self._tokenizer, d, self.stopwords)
+                for d in docs
+            ]
+            index = build_sparse_index(
+                corpus_tokens,
+                bm25_type=self.bm25_type,
+                k1=self.k1,
+                b=self.b,
+                epsilon=self.epsilon,
+            )
+        return index.get_scores_host(self._tokenize_query(query))
+
+    # -- retrieval -----------------------------------------------------------
+
+    def _dir_filter_value(self) -> int:
+        if self.filter_dict is None:
+            return -1
+        dir_value = self.filter_dict.get("dir")
+        if dir_value is None:
+            return -1
+        return self.index.dir_vocab.get(dir_value, -2)  # -2: unknown dir -> nothing
+
+    def retrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
+        query = query_bundle.query_str
+        term_ids = self.index.query_term_ids(self._tokenize_query(query))
+        if self.use_device:
+            ids, vals = self.index.gather_postings(
+                term_ids, pad_to=self.max_query_postings
+            )
+            dir_f = self._dir_filter_value()
+            if dir_f == -2:
+                return []
+            top_vals, top_idx = bm25_score_topk(
+                jnp.asarray(ids),
+                jnp.asarray(vals),
+                self.index.num_docs,
+                self._similarity_top_k,
+                dir_col=self._dir_col,
+                dir_filter=jnp.int32(dir_f),
+                use_pallas=self.use_pallas,
+            )
+            top_vals = np.asarray(top_vals)
+            top_idx = np.asarray(top_idx)
+            out: List[NodeWithScore] = []
+            for v, i in zip(top_vals, top_idx):
+                if not np.isfinite(v):
+                    break
+                out.append(NodeWithScore(node=self._nodes[int(i)], score=float(v)))
+            return out
+        # host fallback: replicate reference filter() literally
+        scores = self.index.get_scores_host(self._tokenize_query(query))
+        return self._filter_host(scores)
+
+    def _filter_host(self, scores: np.ndarray) -> List[NodeWithScore]:
+        order = scores.argsort(kind="stable")[::-1]
+        out: List[NodeWithScore] = []
+        for ix in order:
+            if scores[ix] <= 0:
+                break
+            if self.filter_dict is not None:
+                if any(
+                    self._nodes[ix].metadata.get(k) != v
+                    for k, v in self.filter_dict.items()
+                ):
+                    continue
+            out.append(NodeWithScore(node=self._nodes[int(ix)], score=float(scores[ix])))
+            if len(out) == self._similarity_top_k:
+                break
+        return out
+
+    async def aretrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
+        return self.retrieve(query_bundle)
+
+
+class DenseRetriever:
+    """Dense retriever: embed the query, hit the HBM cosine index."""
+
+    def __init__(
+        self,
+        index: DenseIndex,
+        nodes: List[TextNode],
+        embed_model,
+        similarity_top_k: int = 288,
+    ) -> None:
+        self.index = index
+        self._nodes = nodes
+        self._embed_model = embed_model
+        self._similarity_top_k = similarity_top_k
+        self.filters: Optional[str] = None  # a `dir` value, or None
+
+    def retrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
+        emb = self._embed_model.get_query_embedding(query_bundle.query_str)
+        vals, idx = self.index.query(
+            np.asarray(emb), self._similarity_top_k, dir_value=self.filters
+        )
+        out: List[NodeWithScore] = []
+        for v, i in zip(vals[0], idx[0]):
+            if not np.isfinite(v):
+                break
+            out.append(NodeWithScore(node=self._nodes[int(i)], score=float(v)))
+        return out
+
+    async def aretrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
+        return self.retrieve(query_bundle)
+
+
+class HybridRetriever:
+    """Route dispatch + fusion (``retrievers.py:223-291``)."""
+
+    def __init__(
+        self,
+        dense_retriever: Optional[DenseRetriever],
+        sparse_retriever: Optional[BM25Retriever],
+        retrieval_type: int = 1,
+        topk: int = 256,
+    ) -> None:
+        self.dense_retriever = dense_retriever
+        self.sparse_retriever = sparse_retriever
+        self.retrieval_type = retrieval_type  # 1 dense | 2 sparse | 3 hybrid
+        self.filters = None
+        self.filter_dict = None
+        self.topk = topk
+
+    @classmethod
+    def fusion(
+        cls, list_of_list_ranks_system: List[List[NodeWithScore]], topk: int = 256
+    ) -> List[NodeWithScore]:
+        """Dedup by node *content string* keeping first occurrence, then sort
+        by score desc (stable), truncate."""
+        all_nodes: List[NodeWithScore] = []
+        seen = set()
+        for nodes in list_of_list_ranks_system:
+            for node in nodes:
+                content = node.get_content()
+                if content not in seen:
+                    all_nodes.append(node)
+                    seen.add(content)
+        all_nodes = sorted(all_nodes, key=lambda n: n.score, reverse=True)
+        return all_nodes[: min(len(all_nodes), topk)]
+
+    @classmethod
+    def reciprocal_rank_fusion(
+        cls,
+        list_of_list_ranks_system: List[List[NodeWithScore]],
+        K: int = 60,
+        topk: int = 256,
+    ) -> List[NodeWithScore]:
+        """RRF keyed by content string: score = sum 1/(rank + K), 1-based
+        ranks; later routes overwrite the representative node object for a
+        given content, as in the reference."""
+        rrf_map: Dict[str, float] = defaultdict(float)
+        text_to_node: Dict[str, NodeWithScore] = {}
+        for rank_list in list_of_list_ranks_system:
+            for rank, item in enumerate(rank_list, 1):
+                content = item.get_content()
+                text_to_node[content] = item
+                rrf_map[content] += 1.0 / (rank + K)
+        sorted_items = sorted(rrf_map.items(), key=lambda x: x[1], reverse=True)
+        reranked: List[NodeWithScore] = []
+        for text, score in sorted_items:
+            node = text_to_node[text]
+            node.score = score
+            reranked.append(node)
+        return reranked[: min(topk, len(reranked))]
+
+    async def aretrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
+        sparse_nodes: List[NodeWithScore] = []
+        dense_nodes: List[NodeWithScore] = []
+        if self.retrieval_type != 1:
+            self.sparse_retriever.filter_dict = self.filter_dict
+            sparse_nodes = await self.sparse_retriever.aretrieve(query_bundle)
+            if self.retrieval_type == 2:
+                return sparse_nodes
+        if self.retrieval_type != 2:
+            self.dense_retriever.filters = self.filters
+            dense_nodes = await self.dense_retriever.aretrieve(query_bundle)
+            if self.retrieval_type == 1:
+                return dense_nodes
+        return self.reciprocal_rank_fusion([sparse_nodes, dense_nodes], topk=self.topk)
+
+    def retrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
+        import asyncio
+
+        return asyncio.get_event_loop().run_until_complete(self.aretrieve(query_bundle))
