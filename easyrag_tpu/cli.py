@@ -1,0 +1,104 @@
+"""Batch evaluation CLI.
+
+Replaces ``src/main.py``: run the pipeline over a test/val split, save
+answers + submit file, compute val keyword accuracy, and dump retrieval
+intermediates for inspection. argparse instead of fire (not in this image);
+same flags and file layout.
+
+Usage:
+    python -m easyrag_tpu.cli --config configs/easyrag.yaml --split val \
+        [--re-only] [--note best] [--no-save-inter] [--push]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+from typing import Any, Dict, List
+
+from .config import load_config
+from .eval import keyword_accuracy, read_jsonl, save_answers, write_jsonl
+from .pipeline import EasyRAGPipeline
+
+
+def get_test_data(split: str = "val", data_dir: str = "data") -> List[Dict[str, Any]]:
+    """test -> ``question.jsonl``; anything else -> ``val.json``
+    (``main.py:12-18``)."""
+    if split == "test":
+        return read_jsonl(os.path.join(data_dir, "question.jsonl"))
+    with open(os.path.join(data_dir, "val.json"), encoding="utf-8") as f:
+        return json.load(f)
+
+
+async def run_batch(args: argparse.Namespace) -> None:
+    overrides: Dict[str, Any] = {"re_only": args.re_only}
+    config = load_config(args.config, overrides=overrides)
+    pipeline = EasyRAGPipeline(config)
+    queries = get_test_data(args.split, args.qa_dir)
+
+    print("开始生成答案...")
+    answers, all_nodes, all_contexts = [], [], []
+    for query in queries:
+        res = await pipeline.run(dict(query))
+        answers.append(res["answer"])
+        all_nodes.append(res["nodes"])
+        all_contexts.append(res["contexts"])
+
+    os.makedirs("outputs", exist_ok=True)
+    answer_file = f"outputs/submit_result_{args.split}_{args.note}.jsonl"
+    joined = save_answers(queries, answers, answer_file)
+    print(f"保存结果至 {answer_file}")
+    write_jsonl("submit_result.jsonl", joined)
+
+    if args.split == "test" and args.push:
+        from .submit import submit
+
+        print(submit(joined))
+    elif args.split == "val":
+        acc = keyword_accuracy(joined, queries)
+        print("average acc:", acc * 100)
+
+    if args.save_inter:
+        os.makedirs("inter", exist_ok=True)
+        inter = []
+        for query, answer, nodes, contexts in zip(queries, joined, all_nodes, all_contexts):
+            row = {
+                "id": query["id"],
+                "query": query["query"],
+                "answer": answer["answer"],
+                "candidates": contexts,
+                "paths": [n.metadata.get("file_path", "") for n in nodes],
+                "know_paths": [n.metadata.get("know_path", "") for n in nodes],
+                "quality": [0 for _ in contexts],
+                "score": 0,
+                "duplicate": 0,
+            }
+            if "keywords" in query:
+                row["keywords"] = query["keywords"]
+                row["gt"] = query["answer"]
+            inter.append(row)
+        inter_file = f"inter/{args.split}_{args.note}.json"
+        with open(inter_file, "w", encoding="utf-8") as f:
+            json.dump(inter, f, ensure_ascii=False, indent=4)
+        print(f"保存中间结果至 {inter_file}")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="easyrag_tpu batch evaluation")
+    parser.add_argument("--config", default="configs/easyrag.yaml")
+    parser.add_argument("--split", default="test", choices=["test", "val"])
+    parser.add_argument("--re-only", action="store_true", dest="re_only")
+    parser.add_argument("--push", action="store_true")
+    parser.add_argument("--note", default="best")
+    parser.add_argument("--qa-dir", default="data", help="dir with question.jsonl/val.json")
+    parser.add_argument(
+        "--no-save-inter", action="store_false", dest="save_inter", default=True
+    )
+    args = parser.parse_args()
+    asyncio.get_event_loop().run_until_complete(run_batch(args))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""LLM generation: OpenAI-compatible async client, retry policy, HyDE.
+
+Replaces the reference's llama-index ``OpenAILike`` GLM-4 client
+(``src/easyrag/pipeline/pipeline.py:71-78``) with a thin aiohttp client, and
+``generation()``'s retry-10-then-"无法确定" policy
+(``src/easyrag/pipeline/rag.py:26-39``). ``HyDETransform`` mirrors
+llama-index's ``HyDEQueryTransform`` with ``include_original=True``: the
+pseudo-document is ``custom_embedding_strs[0]``
+(consumed at ``pipeline.py:328-330``).
+
+Sentence cutting (:func:`cut_sent`) replicates the regex splitter at
+``rag.py:6-14`` used by the bm25_extract compressor.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import random
+import re
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from .schema import QueryBundle
+from .templates import PromptTemplate
+
+
+@dataclass
+class CompletionResponse:
+    text: str
+
+
+class OpenAICompatLLM:
+    """Async chat-completions client for any OpenAI-compatible endpoint
+    (GLM-4 at ``https://open.bigmodel.cn/api/paas/v4/`` in the reference)."""
+
+    def __init__(
+        self,
+        api_keys: Sequence[str],
+        model: str = "glm-4",
+        api_base: str = "https://open.bigmodel.cn/api/paas/v4/",
+        timeout_s: float = 120.0,
+    ) -> None:
+        if not api_keys:
+            raise ValueError("at least one API key required")
+        # reference picks one key at random per pipeline (pipeline.py:71)
+        self.api_key = random.choice(list(api_keys))
+        self.model = model
+        self.api_base = api_base.rstrip("/")
+        self.timeout_s = timeout_s
+
+    async def acomplete(self, prompt: str) -> CompletionResponse:
+        import aiohttp
+
+        url = f"{self.api_base}/chat/completions"
+        payload = {
+            "model": self.model,
+            "messages": [{"role": "user", "content": prompt}],
+        }
+        headers = {"Authorization": f"Bearer {self.api_key}"}
+        timeout = aiohttp.ClientTimeout(total=self.timeout_s)
+        async with aiohttp.ClientSession(timeout=timeout) as session:
+            async with session.post(url, json=payload, headers=headers) as resp:
+                resp.raise_for_status()
+                data = await resp.json()
+        return CompletionResponse(text=data["choices"][0]["message"]["content"])
+
+    def complete(self, prompt: str) -> CompletionResponse:
+        return asyncio.get_event_loop().run_until_complete(self.acomplete(prompt))
+
+
+async def generation(llm, fmt_qa_prompt: str, max_retries: int = 10) -> CompletionResponse:
+    """Retry any exception up to ``max_retries`` times, then degrade to the
+    literal answer "无法确定" (``rag.py:26-39``)."""
+    cnt = 0
+    while True:
+        try:
+            return await llm.acomplete(fmt_qa_prompt)
+        except Exception as e:  # noqa: BLE001 — reference retries everything
+            print(e)
+            cnt += 1
+            if cnt >= max_retries:
+                print(f"已达到最大生成次数{cnt}次，返回'无法确定'")
+                return CompletionResponse(text="无法确定")
+            print(f"已重复生成{cnt}次")
+
+
+class HyDETransform:
+    """Generate a hypothetical document for the query and bundle it as
+    ``custom_embedding_strs[0]`` (llama-index ``HyDEQueryTransform``,
+    ``include_original=True``)."""
+
+    def __init__(self, llm, hyde_prompt: str, include_original: bool = True) -> None:
+        self.llm = llm
+        self.prompt = PromptTemplate(hyde_prompt)
+        self.include_original = include_original
+
+    def __call__(self, query_str: str) -> QueryBundle:
+        return asyncio.get_event_loop().run_until_complete(self.acall(query_str))
+
+    async def acall(self, query_str: str) -> QueryBundle:
+        resp = await generation(self.llm, self.prompt.format(context_str=query_str))
+        embedding_strs: List[str] = [resp.text]
+        if self.include_original:
+            embedding_strs.append(query_str)
+        return QueryBundle(query_str=query_str, custom_embedding_strs=embedding_strs)
+
+
+def cut_sent(para: str) -> List[str]:
+    """Chinese sentence cutter (``rag.py:6-14``): break after 。！？?,
+    after ``......``/``……`` ellipses, and after closing quotes that follow a
+    terminator."""
+    para = re.sub(r"([。！？\?])([^”’])", r"\1\n\2", para)
+    para = re.sub(r"(\.{6})([^”’])", r"\1\n\2", para)
+    para = re.sub(r"(\…{2})([^”’])", r"\1\n\2", para)
+    para = re.sub(r"([。！？\?][”’])([^，。！？\?])", r"\1\n\2", para)
+    para = para.rstrip()
+    return para.split("\n")
+
+
+def deduplicate(contents: Sequence[str]) -> List[str]:
+    """Order-preserving dedup (``rag.py:42-49``)."""
+    seen = set()
+    out: List[str] = []
+    for c in contents:
+        if c not in seen:
+            seen.add(c)
+            out.append(c)
+    return out
+
+
+class LocalHFLLM:
+    """Optional local HuggingFace CausalLM generation
+    (``src/easyrag/utils/llm_utils.py:58-73``): chat template, greedy
+    ``top_k=1``, ``max_length=8192``. Torch CPU in this image; gated."""
+
+    def __init__(self, model_name: str) -> None:
+        import torch
+        from transformers import AutoModelForCausalLM, AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name, trust_remote_code=True)
+        self.model = (
+            AutoModelForCausalLM.from_pretrained(
+                model_name,
+                torch_dtype=torch.bfloat16,
+                low_cpu_mem_usage=True,
+                trust_remote_code=True,
+            )
+            .eval()
+        )
+
+    def generate(self, query: str) -> str:
+        import torch
+
+        messages = [{"role": "user", "content": query}]
+        inputs = self.tokenizer.apply_chat_template(
+            messages, add_generation_prompt=True, return_tensors="pt"
+        )
+        with torch.no_grad():
+            out = self.model.generate(
+                inputs, max_length=8192, top_k=1, do_sample=False
+            )
+        return self.tokenizer.decode(
+            out[0][inputs.shape[1]:], skip_special_tokens=True
+        )

@@ -1,0 +1,184 @@
+"""HuggingFace checkpoint -> JAX param pytree.
+
+Loads ``config.json`` + ``*.safetensors`` from a *local* model directory
+(this environment has no network egress; weights must be pre-downloaded,
+as the reference's ``scripts/download.sh`` also assumes) and maps the
+llama-family parameter names onto the pytree consumed by
+``models/layers.py``:
+
+  (model.)embed_tokens.weight                      -> embed
+  (model.)layers.{i}.self_attn.{q,k,v,o}_proj.*    -> layers[i].attn.*
+  (model.)layers.{i}.mlp.{gate,up,down}_proj.weight-> layers[i].mlp.*
+  (model.)layers.{i}.input_layernorm.weight        -> layers[i].input_norm
+  (model.)layers.{i}.post_attention_layernorm.*    -> layers[i].post_norm
+  (model.)norm.weight                              -> final_norm
+  lm_head.{j}.linear_head.weight                   -> heads[start_layer+j]
+  (gemma2: pre_feedforward/post_feedforward/post_attention norms map to
+   pre_mlp_norm/post_mlp_norm/post_attn_norm)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_hf_config(model_dir: str) -> Dict[str, Any]:
+    with open(os.path.join(model_dir, "config.json"), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _iter_safetensors(model_dir: str):
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files under {model_dir}")
+    for path in files:
+        with safe_open(path, framework="np") as f:
+            for name in f.keys():
+                yield name, f.get_tensor(name)
+
+
+def _strip_prefix(name: str) -> str:
+    return name[6:] if name.startswith("model.") else name
+
+
+_NORM_MAP = {
+    "input_layernorm": "input_norm",
+    "post_attention_layernorm": "post_norm",
+    "pre_feedforward_layernorm": "pre_mlp_norm",
+    "post_feedforward_layernorm": "post_mlp_norm",
+}
+
+_GEMMA_NORM_MAP = {
+    "input_layernorm": "input_norm",
+    "post_attention_layernorm": "post_attn_norm",
+    "pre_feedforward_layernorm": "pre_mlp_norm",
+    "post_feedforward_layernorm": "post_mlp_norm",
+}
+
+
+def load_decoder_params(
+    model_dir: str,
+    num_layers: int,
+    start_layer: Optional[int] = None,
+    gemma: bool = False,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Stream safetensors into the layers.py pytree (bf16 by default)."""
+    layers: list = [
+        {"attn": {}, "mlp": {}} for _ in range(num_layers)
+    ]
+    params: Dict[str, Any] = {"layers": layers}
+    heads: Dict[int, Any] = {}
+    norm_map = _GEMMA_NORM_MAP if gemma else _NORM_MAP
+
+    def put(tensor: np.ndarray):
+        return jnp.asarray(tensor).astype(dtype)
+
+    for raw_name, tensor in _iter_safetensors(model_dir):
+        name = _strip_prefix(raw_name)
+        parts = name.split(".")
+        if name == "embed_tokens.weight":
+            params["embed"] = put(tensor)
+        elif name == "norm.weight":
+            params["final_norm"] = put(tensor)
+        elif parts[0] == "lm_head":
+            # layerwise heads: lm_head.{j}.linear_head.weight (f32 heads)
+            if parts[1].isdigit():
+                j = int(parts[1])
+                heads[(start_layer or 0) + j] = jnp.asarray(tensor).astype(jnp.float32)
+            else:  # plain causal-lm head (e.g. 'Yes'-logit rerankers)
+                params["lm_head"] = put(tensor)
+        elif parts[0] == "layers":
+            i = int(parts[1])
+            if i >= num_layers:
+                continue
+            sub = parts[2]
+            if sub == "self_attn":
+                proj = parts[3][0]  # q/k/v/o
+                kind = "w" if parts[4] == "weight" else "b"
+                layers[i]["attn"].setdefault(proj, {})[kind] = put(tensor)
+            elif sub == "mlp":
+                proj = parts[3].split("_")[0]  # gate/up/down
+                layers[i]["mlp"][proj] = {"w": put(tensor)}
+            elif sub in norm_map:
+                layers[i][norm_map[sub]] = put(tensor)
+    if heads:
+        params["heads"] = heads
+    return params
+
+
+def params_from_state_dict(
+    state_dict: Dict[str, np.ndarray],
+    num_layers: int,
+    start_layer: Optional[int] = None,
+    gemma: bool = False,
+    dtype=jnp.float32,
+) -> Dict[str, Any]:
+    """In-memory variant of :func:`load_decoder_params` (tests, conversions)."""
+    layers: list = [{"attn": {}, "mlp": {}} for _ in range(num_layers)]
+    params: Dict[str, Any] = {"layers": layers}
+    heads: Dict[int, Any] = {}
+    norm_map = _GEMMA_NORM_MAP if gemma else _NORM_MAP
+    for raw_name, tensor in state_dict.items():
+        tensor = np.asarray(tensor)
+        name = _strip_prefix(raw_name)
+        parts = name.split(".")
+        if name == "embed_tokens.weight":
+            params["embed"] = jnp.asarray(tensor, dtype)
+        elif name == "norm.weight":
+            params["final_norm"] = jnp.asarray(tensor, dtype)
+        elif parts[0] == "lm_head":
+            if parts[1].isdigit():
+                heads[(start_layer or 0) + int(parts[1])] = jnp.asarray(
+                    tensor, jnp.float32
+                )
+            else:
+                params["lm_head"] = jnp.asarray(tensor, dtype)
+        elif parts[0] == "layers":
+            i = int(parts[1])
+            if i >= num_layers:
+                continue
+            sub = parts[2]
+            if sub == "self_attn":
+                proj = parts[3][0]
+                kind = "w" if parts[4] == "weight" else "b"
+                layers[i]["attn"].setdefault(proj, {})[kind] = jnp.asarray(tensor, dtype)
+            elif sub == "mlp":
+                proj = parts[3].split("_")[0]
+                layers[i]["mlp"][proj] = {"w": jnp.asarray(tensor, dtype)}
+            elif sub in norm_map:
+                layers[i][norm_map[sub]] = jnp.asarray(tensor, dtype)
+    if heads:
+        params["heads"] = heads
+    return params
+
+
+def load_qwen2_embedder(model_dir: str, dtype=jnp.bfloat16):
+    """gte-Qwen2 checkpoint -> (DecoderConfig, params)."""
+    from .qwen2 import qwen2_config_from_hf
+
+    hf = load_hf_config(model_dir)
+    cfg = qwen2_config_from_hf(hf, dtype=dtype)
+    params = load_decoder_params(model_dir, cfg.num_hidden_layers, dtype=dtype)
+    return cfg, params
+
+
+def load_minicpm_reranker(model_dir: str, dtype=jnp.bfloat16):
+    """bge-reranker-v2-minicpm-layerwise checkpoint -> (cfg, params, start)."""
+    from .minicpm import minicpm_config_from_hf
+
+    hf = load_hf_config(model_dir)
+    cfg = minicpm_config_from_hf(hf, dtype=dtype)
+    start_layer = hf.get("start_layer", 8)
+    params = load_decoder_params(
+        model_dir, cfg.num_hidden_layers, start_layer=start_layer, dtype=dtype
+    )
+    return cfg, params, start_layer

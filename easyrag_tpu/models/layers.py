@@ -1,0 +1,264 @@
+"""Functional decoder-transformer core shared by the model family.
+
+One parameterized forward covers the three vendored-model architectures the
+reference carries (all llama-family decoders with small deltas):
+
+* Qwen2 / gte-Qwen2-7B-instruct (``src/easyrag/utils/modeling_qwen.py``):
+  QKV bias, no scaling quirks.
+* MiniCPM / bge-reranker-v2-minicpm-layerwise
+  (``src/easyrag/utils/modeling_minicpm_reranker.py``): embeddings scaled by
+  ``scale_emb``, residual branches scaled by ``scale_depth/sqrt(L)``
+  (:820,:827), logits read from ``hidden / (hidden_size/dim_model_base)``.
+* Gemma2 / bge-reranker-v2.5-gemma2-lightweight
+  (``src/easyrag/utils/gemma_model.py``): GeGLU, pre+post layernorms, logit
+  softcap — handled in ``gemma.py`` with the same primitives.
+
+Design (TPU-first): parameters live in a flat pytree of jnp arrays (easy to
+shard with ``NamedSharding``); the forward is pure and jit-friendly (static
+shapes, f32 softmax/norm accumulation, bf16 matmuls on the MXU); attention
+is a single fused-by-XLA einsum chain with a combined causal+padding bias.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_hidden_layers: int
+    num_attention_heads: int
+    num_key_value_heads: int
+    head_dim: Optional[int] = None
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    attention_bias: bool = False  # True for Qwen2 QKV
+    # MiniCPM mup-style scalings (1.0 = disabled)
+    scale_emb: float = 1.0
+    scale_depth: float = 0.0  # 0.0 -> plain residual (scale 1)
+    dim_model_base: float = 0.0  # 0.0 -> no logit scaling
+    # Gemma deltas
+    gemma: bool = False  # geglu activation + extra norms + emb scale sqrt(d)
+    attn_logit_softcapping: float = 0.0
+    query_pre_attn_scalar: float = 0.0
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def residual_scale(self) -> float:
+        if self.scale_depth:
+            return self.scale_depth / (self.num_hidden_layers ** 0.5)
+        return 1.0
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float, gemma: bool = False) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    w = weight.astype(jnp.float32)
+    if gemma:  # gemma parameterizes the gain as (1 + w)
+        w = 1.0 + w
+    return (normed * w).astype(x.dtype)
+
+
+def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for the rotate-half RoPE convention, f32.
+
+    positions: [B, S] int32 -> ([B, S, head_dim], [B, S, head_dim]).
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq[None, None, :]
+    angles = jnp.concatenate([angles, angles], axis=-1)  # [B, S, head_dim]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, S, H, D]; cos/sin: [B, S, D]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (
+        x.astype(jnp.float32) * cos[:, :, None, :]
+        + rotated.astype(jnp.float32) * sin[:, :, None, :]
+    ).astype(x.dtype)
+
+
+def attention_bias_from_mask(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """[B, S] padding mask -> [B, 1, S, S] additive causal+padding bias."""
+    seq = attention_mask.shape[-1]
+    causal = jnp.tril(jnp.ones((seq, seq), dtype=bool))
+    keep = causal[None, None, :, :] & (attention_mask[:, None, None, :] > 0)
+    return jnp.where(keep, 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
+def _linear(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    y = x @ p["w"].T
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def attention(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    x: jnp.ndarray,  # [B, S, D]
+    bias: jnp.ndarray,  # [B, 1, S, S]
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+) -> jnp.ndarray:
+    b, s, _ = x.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+    q = _linear(x, params["q"]).reshape(b, s, nh, hd)
+    k = _linear(x, params["k"]).reshape(b, s, nkv, hd)
+    v = _linear(x, params["v"]).reshape(b, s, nkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if nkv != nh:  # grouped-query attention: broadcast KV over query groups
+        rep = nh // nkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scale = (
+        cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar else hd ** -0.5
+    )
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if cfg.attn_logit_softcapping:
+        cap = cfg.attn_logit_softcapping
+        logits = jnp.tanh(logits / cap) * cap
+    logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, nh * hd)
+    return _linear(out, params["o"])
+
+
+def mlp(cfg: DecoderConfig, params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    gate = _linear(x, params["gate"])
+    act = jax.nn.gelu(gate, approximate=True) if cfg.gemma else jax.nn.silu(gate)
+    return _linear(act * _linear(x, params["up"]), params["down"])
+
+
+def decoder_layer(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    x: jnp.ndarray,
+    bias: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+) -> jnp.ndarray:
+    r = cfg.residual_scale
+    h = rms_norm(x, params["input_norm"], cfg.rms_norm_eps, cfg.gemma)
+    h = attention(cfg, params["attn"], h, bias, cos, sin)
+    if cfg.gemma:
+        h = rms_norm(h, params["post_attn_norm"], cfg.rms_norm_eps, cfg.gemma)
+        x = x + h
+        h = rms_norm(x, params["pre_mlp_norm"], cfg.rms_norm_eps, cfg.gemma)
+        h = mlp(cfg, params["mlp"], h)
+        h = rms_norm(h, params["post_mlp_norm"], cfg.rms_norm_eps, cfg.gemma)
+        return x + h
+    x = x + h * r
+    h = rms_norm(x, params["post_norm"], cfg.rms_norm_eps)
+    h = mlp(cfg, params["mlp"], h)
+    return x + h * r
+
+
+def embed(cfg: DecoderConfig, params: Dict[str, Any], input_ids: jnp.ndarray) -> jnp.ndarray:
+    h = jnp.take(params["embed"], input_ids, axis=0)
+    if cfg.gemma:
+        h = h * jnp.asarray(cfg.hidden_size ** 0.5, dtype=h.dtype)
+    elif cfg.scale_emb != 1.0:
+        h = h * cfg.scale_emb
+    return h
+
+
+def forward_hidden(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,  # [B, S]
+    attention_mask: jnp.ndarray,  # [B, S]
+    position_ids: Optional[jnp.ndarray] = None,
+    num_layers: Optional[int] = None,
+    collect_norms_at: Optional[List[int]] = None,
+) -> Any:
+    """Run the decoder stack.
+
+    Returns the final-normed hidden state ``[B, S, D]``; with
+    ``collect_norms_at`` given, returns the list of ``norm(hidden)`` taken
+    *before* running each listed layer index — matching the reference's
+    layerwise collection points (``modeling_minicpm_reranker.py:1081-1084``,
+    where ``cutoff_layers=[L]`` yields the normed output of the first L
+    layers).
+    """
+    if position_ids is None:
+        b, s = input_ids.shape
+        position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (b, s))
+    cos, sin = rope_tables(position_ids, cfg.hd, cfg.rope_theta)
+    bias = attention_bias_from_mask(attention_mask)
+    h = embed(cfg, params, input_ids)
+    n = num_layers if num_layers is not None else cfg.num_hidden_layers
+    collected = []
+    for idx in range(n):
+        if collect_norms_at and idx in collect_norms_at:
+            collected.append(rms_norm(h, params["final_norm"], cfg.rms_norm_eps, cfg.gemma))
+        h = decoder_layer(cfg, params["layers"][idx], h, bias, cos, sin)
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps, cfg.gemma)
+    if collect_norms_at is not None:
+        if n in collect_norms_at:
+            collected.append(h)
+        return collected
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (tiny models for tests; real weights come from
+# hf_loader)
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: DecoderConfig, key: jax.Array) -> Dict[str, Any]:
+    def dense(key, n_in, n_out, bias):
+        p = {"w": jax.random.normal(key, (n_out, n_in), cfg.dtype) * 0.02}
+        if bias:
+            p["b"] = jnp.zeros((n_out,), cfg.dtype)
+        return p
+
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+    d, hd = cfg.hidden_size, cfg.hd
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        k = jax.random.split(keys[i], 8)
+        layer = {
+            "input_norm": jnp.ones((d,), cfg.dtype),
+            "attn": {
+                "q": dense(k[0], d, cfg.num_attention_heads * hd, cfg.attention_bias),
+                "k": dense(k[1], d, cfg.num_key_value_heads * hd, cfg.attention_bias),
+                "v": dense(k[2], d, cfg.num_key_value_heads * hd, cfg.attention_bias),
+                "o": dense(k[3], cfg.num_attention_heads * hd, d, False),
+            },
+            "mlp": {
+                "gate": dense(k[4], d, cfg.intermediate_size, False),
+                "up": dense(k[5], d, cfg.intermediate_size, False),
+                "down": dense(k[6], cfg.intermediate_size, d, False),
+            },
+        }
+        if cfg.gemma:
+            layer["post_attn_norm"] = jnp.ones((d,), cfg.dtype)
+            layer["pre_mlp_norm"] = jnp.ones((d,), cfg.dtype)
+            layer["post_mlp_norm"] = jnp.ones((d,), cfg.dtype)
+        else:
+            layer["post_norm"] = jnp.ones((d,), cfg.dtype)
+        layers.append(layer)
+    return {
+        "embed": jax.random.normal(keys[-2], (cfg.vocab_size, d), cfg.dtype) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+    }

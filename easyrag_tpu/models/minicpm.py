@@ -1,0 +1,233 @@
+"""LayerWise MiniCPM cross-encoder reranker (JAX).
+
+Replaces the vendored ``LayerWiseMiniCPMForCausalLM``
+(``src/easyrag/utils/modeling_minicpm_reranker.py`` and its early-exit
+variant ``efficient_modeling_minicpm_reranker.py``).
+
+Architecture (llama-family + mup-style scalings, config at
+``configuration_minicpm_reranker.py``):
+  * embeddings scaled by ``scale_emb``; residual branches scaled by
+    ``scale_depth / sqrt(num_layers)``
+  * one score head per layer in ``[start_layer, num_layers]``;
+    ``cutoff_layers=[L]`` reads head ``L`` on ``norm(hidden after L layers)``
+    (``modeling_minicpm_reranker.py:1081-1084``)
+  * non-efficient path scales the head input by
+    ``1/(hidden_size/dim_model_base)``
+    (``modeling_minicpm_reranker.py:1316-1318``); the efficient variant
+    applies the head on the *unscaled* hidden
+    (``efficient_modeling_minicpm_reranker.py:1294``) — a reference
+    inconsistency replicated here because the early-exit softmax criterion
+    is scale-sensitive.
+
+Early exit, TPU-first: the reference breaks out of the decoder loop at a
+data-dependent layer — hostile to XLA. We split the stack into two
+statically-compiled segments around the judge layer (12): run segment
+``0->judge``, score, decide on host (max-prob or normalized-entropy
+criterion, threshold ``efficient_t``), and only if continuing run segment
+``judge->cutoff`` from the carried hidden state. Each segment compiles
+once; the compute saved on exit matches the reference exactly
+(``rerankers.py:311-345`` two-phase reuse for ``efficient_type=1``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (
+    DecoderConfig,
+    attention_bias_from_mask,
+    decoder_layer,
+    embed,
+    rms_norm,
+    rope_tables,
+)
+
+
+def minicpm_config_from_hf(hf: Dict[str, Any], dtype=jnp.bfloat16) -> DecoderConfig:
+    return DecoderConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads", hf["num_attention_heads"]),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 10000.0),
+        attention_bias=hf.get("attention_bias", False),
+        scale_emb=hf.get("scale_emb", 1.0),
+        scale_depth=hf.get("scale_depth", 0.0),
+        dim_model_base=hf.get("dim_model_base", 0.0),
+        dtype=dtype,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "start", "end"))
+def _segment(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    hidden: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    start: int,
+    end: int,
+) -> jnp.ndarray:
+    """Run decoder layers [start, end) from a carried hidden state."""
+    b, s = attention_mask.shape
+    position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (b, s))
+    cos, sin = rope_tables(position_ids, cfg.hd, cfg.rope_theta)
+    bias = attention_bias_from_mask(attention_mask)
+    for idx in range(start, end):
+        hidden = decoder_layer(cfg, params["layers"][idx], hidden, bias, cos, sin)
+    return hidden
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _embed_tokens(cfg: DecoderConfig, params, input_ids):
+    return embed(cfg, params, input_ids)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "layer", "scale_head_input"))
+def _layer_score(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    hidden: jnp.ndarray,
+    layer: int,
+    scale_head_input: bool = True,
+) -> jnp.ndarray:
+    """norm(hidden) -> per-sequence score at the LAST position, f32 [B]."""
+    normed = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+    if scale_head_input and cfg.dim_model_base:
+        normed = normed / (cfg.hidden_size / cfg.dim_model_base)
+    head_w = params["heads"][layer]  # [1, D]
+    logits = (normed[:, -1, :].astype(jnp.float32) @ head_w.T.astype(jnp.float32))
+    return logits[:, 0]
+
+
+class MiniCPMLayerWiseReranker:
+    """Scores (query, passage) pairs; the pipeline-facing reranker wrapper
+    lives in ``easyrag_tpu.rerankers``.
+
+    ``params["heads"]`` maps layer index -> [1, hidden] head weight for
+    layers in [start_layer, num_layers].
+    """
+
+    def __init__(
+        self,
+        cfg: DecoderConfig,
+        params: Dict[str, Any],
+        tokenizer,
+        start_layer: int = 8,
+        cutoff_layer: int = 28,
+        max_length: int = 1024,
+        use_efficient: int = 0,
+        efficient_t: float = 0.4,
+        efficient_layers: Tuple[int, ...] = (12,),
+    ) -> None:
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.start_layer = start_layer
+        self.cutoff_layer = cutoff_layer
+        self.max_length = max_length
+        self.use_efficient = use_efficient
+        self.efficient_t = efficient_t
+        self.efficient_layers = tuple(efficient_layers)
+        self.prompt = (
+            "Given a query A and a passage B, determine whether the passage "
+            "contains an answer to the query by providing a prediction of "
+            "either 'Yes' or 'No'."
+        )
+
+    # -- tokenization (mirrors rerankers.py:251-292) --------------------------
+
+    def build_inputs(self, pairs: List[Tuple[str, str]]) -> Tuple[np.ndarray, np.ndarray]:
+        """(query, passage) pairs -> left-padded (input_ids, attention_mask).
+
+        Layout per pair: ``<bos> A: <query(<=3/4 max)> \\n B: <passage>``
+        truncated to ``max_length`` keeping the query, then ``\\n <prompt>``.
+        Left padding keeps the scored position (last token) real.
+        """
+        tk = self.tokenizer
+        prompt_ids = tk(self.prompt, add_special_tokens=False)["input_ids"]
+        sep_ids = tk("\n", add_special_tokens=False)["input_ids"]
+        rows = []
+        for query, passage in pairs:
+            q_ids = tk(
+                f"A: {query}",
+                add_special_tokens=False,
+                max_length=self.max_length * 3 // 4,
+                truncation=True,
+            )["input_ids"]
+            p_ids = tk(
+                f"B: {passage}",
+                add_special_tokens=False,
+                max_length=self.max_length,
+                truncation=True,
+            )["input_ids"]
+            first = [tk.bos_token_id] + q_ids
+            second = sep_ids + p_ids
+            room = self.max_length - len(first)
+            second = second[: max(room, 0)]
+            rows.append(first + second + sep_ids + prompt_ids)
+        max_len = max(len(r) for r in rows)
+        max_len = ((max_len + 7) // 8) * 8  # pad_to_multiple_of=8
+        pad_id = tk.pad_token_id if tk.pad_token_id is not None else 0
+        ids = np.full((len(rows), max_len), pad_id, dtype=np.int32)
+        mask = np.zeros((len(rows), max_len), dtype=np.int32)
+        for i, r in enumerate(rows):
+            ids[i, max_len - len(r):] = r
+            mask[i, max_len - len(r):] = 1
+        return ids, mask
+
+    # -- scoring ---------------------------------------------------------------
+
+    def _judge_quit(self, scores: np.ndarray) -> bool:
+        """Early-exit criterion over the batch's scores
+        (``efficient_modeling_minicpm_reranker.py:1256-1277``)."""
+        s = np.asarray(scores, dtype=np.float64)
+        p = np.exp(s - s.max())
+        p = p / p.sum()
+        if self.use_efficient == 1:  # max-prob criterion
+            return bool(p.max() >= self.efficient_t)
+        # entropy criterion (quits when normalized entropy is HIGH — the
+        # reference's literal comparison, replicated)
+        n = len(p)
+        entropy = -np.sum(p * np.log(np.maximum(p, 1e-30)))
+        return bool(entropy / (-np.log(1.0 / n)) >= self.efficient_t)
+
+    def score_pairs(
+        self, pairs: List[Tuple[str, str]], judge: bool = False
+    ) -> Tuple[np.ndarray, int]:
+        """Score one batch. Returns (scores[B], layer_used).
+
+        ``judge=True`` runs the two-segment early-exit protocol; otherwise a
+        single segment to ``self.cutoff_layer``.
+        """
+        ids_np, mask_np = self.build_inputs(pairs)
+        ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+        hidden = _embed_tokens(self.cfg, self.params, ids)
+        scale = not judge and self.use_efficient == 0  # see module docstring
+        if judge and self.efficient_layers:
+            j = self.efficient_layers[0]
+            hidden = _segment(self.cfg, self.params, hidden, mask, 0, j)
+            scores = _layer_score(
+                self.cfg, self.params, hidden, j, scale_head_input=False
+            )
+            if self._judge_quit(np.asarray(scores)):
+                return np.asarray(scores), j
+            hidden = _segment(self.cfg, self.params, hidden, mask, j, self.cutoff_layer)
+            scores = _layer_score(
+                self.cfg, self.params, hidden, self.cutoff_layer,
+                scale_head_input=False,
+            )
+            return np.asarray(scores), self.cutoff_layer
+        hidden = _segment(self.cfg, self.params, hidden, mask, 0, self.cutoff_layer)
+        scores = _layer_score(
+            self.cfg, self.params, hidden, self.cutoff_layer,
+            scale_head_input=scale,
+        )
+        return np.asarray(scores), self.cutoff_layer

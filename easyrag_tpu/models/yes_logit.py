@@ -1,0 +1,71 @@
+"""Generic CausalLM reranker scored by the 'Yes'-token logit.
+
+The reference's third reranker family (``src/easyrag/custom/rerankers.py:
+177-184,361``): any causal LM prompted with the Yes/No instruction, scored
+by ``logits[:, -1, yes_loc]``. Runs on the shared JAX decoder with the full
+vocab head; only the 'Yes' row of the head is needed, so scoring projects
+one row instead of the whole vocabulary (a TPU-side saving the reference's
+full lm_head matmul doesn't get).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import DecoderConfig, forward_hidden
+from .minicpm import MiniCPMLayerWiseReranker
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _yes_score(cfg: DecoderConfig, params, yes_row, input_ids, attention_mask):
+    h = forward_hidden(cfg, params, input_ids, attention_mask)
+    last = h[:, -1, :].astype(jnp.float32)
+    return last @ yes_row.astype(jnp.float32)
+
+
+class YesLogitScorer:
+    def __init__(self, cfg: DecoderConfig, params: Dict[str, Any], tokenizer,
+                 max_length: int = 1024) -> None:
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        yes_loc = tokenizer("Yes", add_special_tokens=False)["input_ids"][0]
+        head = params.get("lm_head", params["embed"])  # tied when absent
+        self.yes_row = head[yes_loc]
+        # reuse the pair-prompt builder (identical prompt format)
+        self._builder = MiniCPMLayerWiseReranker.__new__(MiniCPMLayerWiseReranker)
+        self._builder.tokenizer = tokenizer
+        self._builder.max_length = max_length
+        self._builder.prompt = (
+            "Given a query A and a passage B, determine whether the passage "
+            "contains an answer to the query by providing a prediction of "
+            "either 'Yes' or 'No'."
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str) -> "YesLogitScorer":
+        from transformers import AutoTokenizer
+
+        from .hf_loader import load_decoder_params, load_hf_config
+        from .qwen2 import qwen2_config_from_hf
+
+        hf = load_hf_config(model_dir)
+        cfg = qwen2_config_from_hf(hf)
+        params = load_decoder_params(model_dir, cfg.num_hidden_layers)
+        tok = AutoTokenizer.from_pretrained(model_dir, trust_remote_code=True)
+        return cls(cfg, params, tok)
+
+    def score_pairs(
+        self, pairs: List[Tuple[str, str]], judge: bool = False
+    ) -> Tuple[np.ndarray, int]:
+        ids, mask = MiniCPMLayerWiseReranker.build_inputs(self._builder, pairs)
+        scores = _yes_score(
+            self.cfg, self.params, self.yes_row, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        return np.asarray(scores), self.cfg.num_hidden_layers

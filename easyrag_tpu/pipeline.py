@@ -1,0 +1,394 @@
+"""EasyRAGPipeline: config-driven end-to-end orchestration.
+
+Behavioral mirror of ``src/easyrag/pipeline/pipeline.py`` (init at :59-292,
+run dispatch at :323-345, retrieval+generation at :351-452) over the
+TPU-native components:
+
+* dense route: JAX embedder + HBM cosine index (replaces qdrant)
+* sparse dual route: content BM25 (``f_embed_type_2``) + know-path BM25
+  (``embed_type=5``), fused with ``HybridRetriever.fusion``
+* reranker: batched layerwise cross-encoder on TPU
+* generation: OpenAI-compatible GLM-4 client with retry-10
+
+Heavy components (embedder, reranker, LLM) are injectable for tests and
+gated by config so the retrieval-only path (``re_only``/``retrieval_type=2``)
+runs with no model weights and no network.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+from .compressors import ContextCompressor
+from .config import EasyRAGConfig
+from .corpus.extractors import run_extractors
+from .corpus.hierarchical import HierarchicalSplitter, get_leaf_nodes
+from .corpus.reader import read_data
+from .corpus.splitter import SentenceSplitter
+from .corpus.tokenizer import JiebaTokenizer, default_stopwords, load_stopwords
+from .corpus.views import get_node_content
+from .generation import CompletionResponse, HyDETransform, OpenAICompatLLM, generation
+from .retrievers import BM25Retriever, DenseRetriever, HybridRetriever
+from .schema import NodeWithScore, QueryBundle, build_nodeid2idx
+from .templates import (
+    HYDE_PROMPT_MODIFIED_MERGING,
+    HYDE_PROMPT_MODIFIED_V2,
+    MERGE_TEMPLATE,
+    QA_TEMPLATE,
+    PromptTemplate,
+)
+from .utils.events import emit
+
+
+class EasyRAGPipeline:
+    def __init__(
+        self,
+        config: EasyRAGConfig | Dict[str, Any],
+        llm=None,
+        embed_model=None,
+        reranker=None,
+        documents=None,
+    ) -> None:
+        if isinstance(config, dict):
+            config = EasyRAGConfig.from_dict(config)
+        self.config = config
+        self._init(llm=llm, embed_model=embed_model, reranker=reranker, documents=documents)
+
+    # -- construction ---------------------------------------------------------
+
+    def _init(self, llm, embed_model, reranker, documents) -> None:
+        cfg = self.config
+        self.re_only = cfg.re_only
+        self.llm_embed_type = cfg.llm_embed_type
+        self.r_topk_1 = cfg.r_topk_1
+        self.rerank_fusion_type = cfg.rerank_fusion_type
+        self.ans_refine_type = cfg.ans_refine_type
+        self.hyde = cfg.hyde
+        self.hyde_merging = cfg.hyde_merging
+
+        # LLM (lazy network client; only required when generation is used)
+        if llm is not None:
+            self.llm = llm
+        elif cfg.llm_keys:
+            self.llm = OpenAICompatLLM(
+                api_keys=cfg.llm_keys, model=cfg.llm_name, api_base=cfg.llm_api_base
+            )
+        else:
+            self.llm = None
+        self.qa_template = PromptTemplate(QA_TEMPLATE)
+        self.merge_template = PromptTemplate(MERGE_TEMPLATE)
+        self.hyde_transform = (
+            HyDETransform(self.llm, HYDE_PROMPT_MODIFIED_V2, include_original=True)
+            if self.hyde
+            else None
+        )
+        self.hyde_transform_merging = (
+            HyDETransform(self.llm, HYDE_PROMPT_MODIFIED_MERGING, include_original=True)
+            if self.hyde_merging
+            else None
+        )
+
+        # embedding model (dense routes only)
+        self.embed_model = embed_model
+        if cfg.retrieval_type != 2 and self.embed_model is None:
+            from .models.registry import load_embedder
+
+            self.embed_model = load_embedder(
+                cfg.embedding_name,
+                cache_folder=cfg.hfmodel_cache_folder,
+                embed_type=cfg.f_embed_type_1,
+            )
+
+        # corpus -> nodes
+        data_path = os.path.abspath(cfg.data_path)
+        if documents is None:
+            documents = read_data(data_path)
+        emit("ingestion", {"documents": len(documents)})
+        if cfg.split_type == 1:
+            parser = HierarchicalSplitter(
+                chunk_sizes=[cfg.chunk_size * 4, cfg.chunk_size],
+                chunk_overlap=cfg.chunk_overlap,
+            )
+        else:
+            parser = SentenceSplitter(
+                chunk_size=cfg.chunk_size, chunk_overlap=cfg.chunk_overlap
+            )
+        all_nodes = parser.parse_documents(documents)
+        run_extractors(all_nodes, data_path=data_path)
+        emit("chunking", {"nodes": len(all_nodes)})
+
+        # dense index (qdrant replacement): build or load artifact
+        self.dense_retriever = None
+        if cfg.retrieval_type != 2:
+            self.dense_retriever = self._build_dense(all_nodes, cfg)
+
+        # sparse retrievers over (leaf) nodes
+        self.stp_words = (
+            load_stopwords(cfg.stopwords_path)
+            if cfg.stopwords_path
+            else default_stopwords()
+        )
+        self.sparse_tk = JiebaTokenizer()
+        if cfg.split_type == 1:
+            self.nodes = get_leaf_nodes(all_nodes)
+            self.all_nodes = all_nodes
+        else:
+            self.nodes = all_nodes
+            self.all_nodes = all_nodes
+        self.nodeid2idx = build_nodeid2idx(self.nodes)
+
+        self.sparse_retriever = BM25Retriever(
+            nodes=self.nodes,
+            tokenizer=self.sparse_tk,
+            stopwords=self.stp_words,
+            similarity_top_k=cfg.f_topk_2,
+            embed_type=cfg.f_embed_type_2,
+            bm25_type=cfg.bm25_type,
+            max_query_postings=cfg.tpu.max_query_postings,
+            use_pallas=cfg.tpu.use_pallas,
+        )
+        if cfg.split_type == 1:
+            from .automerge import AutoMergingRetriever
+
+            self.sparse_retriever = AutoMergingRetriever(
+                self.sparse_retriever, self.all_nodes, simple_ratio_thresh=0.4
+            )
+        if cfg.f_topk_3 != 0:
+            self.path_retriever = BM25Retriever(
+                nodes=self.nodes,
+                tokenizer=self.sparse_tk,
+                stopwords=self.stp_words,
+                similarity_top_k=cfg.f_topk_3,
+                embed_type=5,  # know_path view
+                bm25_type=cfg.bm25_type,
+                max_query_postings=cfg.tpu.max_query_postings,
+                use_pallas=cfg.tpu.use_pallas,
+            )
+        else:
+            self.path_retriever = None
+
+        # route selection
+        if cfg.retrieval_type == 1:
+            self.retriever = self.dense_retriever
+        elif cfg.retrieval_type == 2:
+            self.retriever = self.sparse_retriever
+        else:
+            self.retriever = HybridRetriever(
+                dense_retriever=self.dense_retriever,
+                sparse_retriever=self.sparse_retriever,
+                retrieval_type=cfg.retrieval_type,
+                topk=cfg.f_topk,
+            )
+
+        # reranker
+        self.reranker = reranker
+        if self.reranker is None and cfg.use_reranker != 0:
+            from .models.registry import load_reranker
+
+            self.reranker = load_reranker(
+                cfg.reranker_name,
+                top_n=cfg.r_topk,
+                embed_bs=cfg.r_embed_bs,
+                embed_type=cfg.r_embed_type,
+                use_efficient=cfg.r_use_efficient,
+                use_st=(cfg.use_reranker == 1),
+            )
+
+        # local LLM
+        self.local_llm = None
+        if cfg.local_llm_name:
+            from .generation import LocalHFLLM
+
+            self.local_llm = LocalHFLLM(cfg.local_llm_name)
+
+        # compressor
+        if cfg.compress_method:
+            self.compressor = ContextCompressor(
+                cfg.compress_method, cfg.compress_rate, self.sparse_retriever
+            )
+        else:
+            self.compressor = None
+
+    def _build_dense(self, nodes, cfg: EasyRAGConfig) -> DenseRetriever:
+        """Build the HBM cosine index (or load the on-disk artifact).
+
+        Mirrors the reference's reuse-if-populated qdrant collection logic
+        (``pipeline.py:138-158``): a saved artifact is loaded unless
+        ``reindex`` is set, in which case the corpus is re-embedded.
+        """
+        import numpy as np
+
+        from .index.dense import DenseIndex
+
+        artifact = cfg.index_artifact_path or os.path.join(cfg.cache_path, cfg.collection_name)
+        if (
+            not cfg.reindex
+            and os.path.exists(os.path.join(artifact, "dense_arrays.npz"))
+        ):
+            index = DenseIndex.load(artifact)
+            if index.num_docs == len(nodes):
+                emit("dense_index", {"loaded": index.num_docs})
+                return DenseRetriever(
+                    index, nodes, self.embed_model, similarity_top_k=cfg.f_topk_1
+                )
+        texts = [get_node_content(n, cfg.f_embed_type_1) for n in nodes]
+        embeddings = np.asarray(self.embed_model.get_text_embeddings(texts))
+        index = DenseIndex.build(
+            embeddings,
+            dirs=[n.metadata.get("dir", "") for n in nodes],
+            dtype=cfg.tpu.index_dtype,
+        )
+        index.save(artifact)
+        emit("dense_index", {"built": index.num_docs})
+        return DenseRetriever(index, nodes, self.embed_model, similarity_top_k=cfg.f_topk_1)
+
+    # -- query-time helpers ---------------------------------------------------
+
+    def build_filters(self, query: Dict[str, Any]) -> Tuple[Optional[str], Optional[Dict]]:
+        """``query["document"]`` -> (dense dir filter, sparse filter dict)
+        (``pipeline.py:301-312``)."""
+        filters = None
+        filter_dict = None
+        if "document" in query and query["document"] != "":
+            filters = query["document"]
+            filter_dict = {"dir": query["document"]}
+        return filters, filter_dict
+
+    def get_node_content(self, node) -> str:
+        return get_node_content(
+            node, embed_type=self.llm_embed_type, nodes=self.nodes,
+            nodeid2idx=self.nodeid2idx,
+        )
+
+    async def generation(self, llm, prompt: str) -> CompletionResponse:
+        if llm is None:
+            raise RuntimeError(
+                "no LLM configured (llm_keys empty); use re_only=true for "
+                "retrieval-only runs"
+            )
+        return await generation(llm, prompt)
+
+    # -- run ------------------------------------------------------------------
+
+    async def run(self, query: Dict[str, Any]) -> Dict[str, Any]:
+        """``{"query": ..., "document": optional dir}`` ->
+        ``{"answer", "nodes", "contexts"}`` (``pipeline.py:323-345``)."""
+        if self.hyde:
+            hyde_bundle = await self.hyde_transform.acall(query["query"])
+            query["hyde_query"] = hyde_bundle.custom_embedding_strs[0]
+        self.filters, self.filter_dict = self.build_filters(query)
+        if self.rerank_fusion_type == 0:
+            if isinstance(self.retriever, HybridRetriever):
+                self.retriever.filters = self.filters
+                self.retriever.filter_dict = self.filter_dict
+            elif isinstance(self.retriever, DenseRetriever):
+                self.retriever.filters = self.filters
+            else:
+                self.retriever.filter_dict = self.filter_dict
+            return await self.generation_with_knowledge_retrieval(
+                query_str=query["query"], hyde_query=query.get("hyde_query", "")
+            )
+        if self.dense_retriever is not None:
+            self.dense_retriever.filters = self.filters
+        self.sparse_retriever.filter_dict = self.filter_dict
+        return await self.generation_with_rerank_fusion(query_str=query["query"])
+
+    async def generation_with_knowledge_retrieval(
+        self, query_str: str, hyde_query: str = ""
+    ) -> Dict[str, Any]:
+        """Default path (``pipeline.py:351-391``): sparse dual route ->
+        fusion -> rerank -> QA generation -> optional answer refinement."""
+        query_bundle = QueryBundle(query_str=query_str + hyde_query)
+        node_with_scores = await self.sparse_retriever.aretrieve(query_bundle)
+        if self.path_retriever is not None:
+            node_with_scores_path = await self.path_retriever.aretrieve(query_bundle)
+        else:
+            node_with_scores_path = []
+        node_with_scores = HybridRetriever.fusion(
+            [node_with_scores, node_with_scores_path]
+        )
+        if self.reranker:
+            if self.hyde_merging and self.hyde:
+                seed = (
+                    f"问题：{query_str},\n 可能有用的提示文档:{hyde_query},\n "
+                    f"检索得到的相关上下文：{self.get_node_content(node_with_scores[0])}"
+                )
+                merged = await self.hyde_transform_merging.acall(seed)
+                query_bundle = QueryBundle(
+                    query_str=query_str + "\n" + merged.custom_embedding_strs[0]
+                )
+            emit("reranking", {"candidates": len(node_with_scores)})
+            node_with_scores = self.reranker.postprocess_nodes(
+                node_with_scores, query_bundle
+            )
+        contents = [self.get_node_content(node) for node in node_with_scores]
+        context_str = "\n\n".join(
+            f"### 文档{i}: {content}" for i, content in enumerate(contents)
+        )
+        if self.re_only:
+            return {"answer": "", "nodes": node_with_scores, "contexts": contents}
+        prompt = self.qa_template.format(context_str=context_str, query_str=query_str)
+        ret = await self.generation(self.llm, prompt)
+        if self.ans_refine_type == 1:
+            merge_prompt = self.merge_template.format(
+                context_str=contents[0], query_str=query_str, answer_str=ret.text
+            )
+            ret = await self.generation(self.llm, merge_prompt)
+        elif self.ans_refine_type == 2:
+            ret.text = ret.text + "\n\n" + contents[0]
+        return {"answer": ret.text, "nodes": node_with_scores, "contexts": contents}
+
+    async def generation_with_rerank_fusion(self, query_str: str) -> Dict[str, Any]:
+        """Two-route alternate path (``pipeline.py:393-452``): rerank each
+        route separately, RRF, then one generation (type 1) or two
+        generations picking the longer / concatenating (types 2/3)."""
+        query_bundle = QueryBundle(query_str=query_str)
+
+        dense_nodes = await self.dense_retriever.aretrieve(query_bundle)
+        if self.reranker:
+            dense_nodes = self.reranker.postprocess_nodes(dense_nodes, query_bundle)
+        sparse_nodes = await self.sparse_retriever.aretrieve(query_bundle)
+        if self.reranker:
+            sparse_nodes = self.reranker.postprocess_nodes(sparse_nodes, query_bundle)
+
+        node_with_scores = HybridRetriever.reciprocal_rank_fusion(
+            [sparse_nodes, dense_nodes], topk=self.r_topk_1
+        )
+
+        if self.re_only:
+            contents = [self.get_node_content(n) for n in node_with_scores]
+            return {"answer": "", "nodes": node_with_scores, "contexts": contents}
+
+        if self.rerank_fusion_type == 1:
+            contents = [self.get_node_content(n) for n in node_with_scores]
+            context_str = "\n\n".join(
+                f"### 文档{i}: {c}" for i, c in enumerate(contents)
+            )
+            ret = await self.generation(
+                self.llm,
+                self.qa_template.format(context_str=context_str, query_str=query_str),
+            )
+        else:
+            contents = [self.get_node_content(n) for n in sparse_nodes]
+            context_str = "\n\n".join(
+                f"### 文档{i}: {c}" for i, c in enumerate(contents)
+            )
+            ret_sparse = await self.generation(
+                self.llm,
+                self.qa_template.format(context_str=context_str, query_str=query_str),
+            )
+            contents = [self.get_node_content(n) for n in dense_nodes]
+            context_str = "\n\n".join(
+                f"### 文档{i}: {c}" for i, c in enumerate(contents)
+            )
+            ret_dense = await self.generation(
+                self.llm,
+                self.qa_template.format(context_str=context_str, query_str=query_str),
+            )
+            if self.rerank_fusion_type == 2:
+                ret = ret_dense if len(ret_dense.text) >= len(ret_sparse.text) else ret_sparse
+            else:
+                ret = CompletionResponse(text=ret_sparse.text + ret_dense.text)
+
+        return {"answer": ret.text, "nodes": node_with_scores, "contexts": contents}

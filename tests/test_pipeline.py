@@ -1,0 +1,264 @@
+"""End-to-end pipeline tests on a synthetic corpus (no real weights, no
+network): retrieval-only slice, hybrid routes, rerank wiring, fusion
+semantics, compressor, API contract."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from easyrag_tpu.config import EasyRAGConfig, TPUConfig
+from easyrag_tpu.pipeline import EasyRAGPipeline
+from easyrag_tpu.retrievers import HybridRetriever
+from easyrag_tpu.schema import NodeWithScore, TextNode
+
+
+def _make_corpus(tmp_path):
+    root = tmp_path / "corpus"
+    (root / "director").mkdir(parents=True)
+    (root / "umac").mkdir()
+    (root / "director" / "scale.txt").write_text(
+        "CDU虚机扩容指南\nCDU虚机每次扩容的最大SC个数为15，步长为3。扩容前需检查资源池容量。\n\n\n"
+        "GSU虚机每次扩容的最大SC个数为5，步长为1。扩容需在维护窗口执行。\n",
+        encoding="utf-8",
+    )
+    (root / "director" / "backup.txt").write_text(
+        "数据备份说明\n系统支持全量备份和增量备份，备份文件存储在共享存储上。\n",
+        encoding="utf-8",
+    )
+    (root / "umac" / "auth.txt").write_text(
+        "鉴权配置\n用户鉴权失败时需要检查LDAP服务器连接，鉴权日志位于日志目录。\n",
+        encoding="utf-8",
+    )
+    (root / "pathmap.json").write_text(
+        json.dumps(
+            {
+                "director/scale.txt": ["运维", "扩容"],
+                "director/backup.txt": ["运维", "备份"],
+                "umac/auth.txt": ["安全", "鉴权"],
+            }
+        ),
+        encoding="utf-8",
+    )
+    return str(root)
+
+
+def _config(tmp_path, **kw):
+    defaults = dict(
+        re_only=True,
+        retrieval_type=2,
+        use_reranker=0,
+        chunk_size=64,
+        chunk_overlap=10,
+        data_path=_make_corpus(tmp_path),
+        f_topk_2=8,
+        f_topk_3=2,
+        tpu=TPUConfig(use_pallas=False, max_query_postings=2048),
+    )
+    defaults.update(kw)
+    return EasyRAGConfig(**defaults)
+
+
+def _run(pipeline, query):
+    return asyncio.get_event_loop().run_until_complete(pipeline.run(query))
+
+
+def test_sparse_re_only_end_to_end(tmp_path):
+    pipeline = EasyRAGPipeline(_config(tmp_path))
+    res = _run(pipeline, {"query": "CDU虚机扩容的最大SC个数是多少？"})
+    assert res["answer"] == ""
+    assert res["contexts"]
+    assert "CDU" in res["contexts"][0]
+    # llm_embed_type=3 default -> contexts are OCR-enriched raw text
+    assert res["nodes"][0].node.metadata["dir"] == "director"
+
+
+def test_dir_filter_routes_to_other_package(tmp_path):
+    # f_topk_3=0: the know-path route is unfiltered in the reference (only
+    # the content route receives filter_dict, pipeline.py:333-334), so it is
+    # disabled here to assert the content route's filter in isolation
+    pipeline = EasyRAGPipeline(_config(tmp_path, f_topk_3=0))
+    res = _run(
+        pipeline, {"query": "鉴权失败如何处理？", "document": "umac"}
+    )
+    assert all(n.node.metadata["dir"] == "umac" for n in res["nodes"])
+    res2 = _run(
+        pipeline, {"query": "鉴权失败如何处理？", "document": "director"}
+    )
+    assert all(n.node.metadata["dir"] == "director" for n in res2["nodes"])
+
+
+def test_dual_route_fusion_includes_path_hits(tmp_path):
+    pipeline = EasyRAGPipeline(_config(tmp_path))
+    # query wording that matches a know_path token (备份) — the path route
+    # must surface the backup doc even with weak content overlap
+    res = _run(pipeline, {"query": "备份"})
+    assert any("备份" in c for c in res["contexts"])
+
+
+class FakeEmbedder:
+    """Deterministic hash-bucket embedder for dense-route tests."""
+
+    dim = 32
+
+    def _vec(self, text):
+        rng = np.random.default_rng(abs(hash(text)) % (2**32))
+        v = rng.normal(size=self.dim)
+        return v / np.linalg.norm(v)
+
+    def get_query_embedding(self, query):
+        return self._vec(query)
+
+    def get_text_embeddings(self, texts):
+        return np.stack([self._vec(t) for t in texts])
+
+
+def test_two_route_rerank_fusion_rrf(tmp_path):
+    # rerank_fusion_type=1 drives generation_with_rerank_fusion: dense and
+    # sparse retrieved separately then RRF-fused (pipeline.py:393-414).
+    # (With rerank_fusion_type=0 the reference's default path uses only the
+    # sparse+path routes even when a dense retriever exists — replicated.)
+    cfg = _config(
+        tmp_path,
+        retrieval_type=3,
+        rerank_fusion_type=1,
+        f_topk=6,
+        f_topk_1=4,
+        r_topk_1=4,
+        cache_path=str(tmp_path / "cache"),
+    )
+    pipeline = EasyRAGPipeline(cfg, embed_model=FakeEmbedder())
+    res = _run(pipeline, {"query": "CDU虚机扩容的最大SC个数是多少？"})
+    assert res["contexts"]
+    # RRF scores are 1/(rank+60) sums
+    assert all(0 < (n.score or 0) < 1 for n in res["nodes"])
+
+
+def test_dense_artifact_reused(tmp_path):
+    cfg = _config(
+        tmp_path, retrieval_type=1, f_topk_1=3, cache_path=str(tmp_path / "cache")
+    )
+    p1 = EasyRAGPipeline(cfg, embed_model=FakeEmbedder())
+    import os
+
+    artifact = os.path.join(cfg.cache_path, cfg.collection_name)
+    assert os.path.exists(os.path.join(artifact, "dense_arrays.npz"))
+
+    class CountingEmbedder(FakeEmbedder):
+        calls = 0
+
+        def get_text_embeddings(self, texts):
+            CountingEmbedder.calls += 1
+            return super().get_text_embeddings(texts)
+
+    EasyRAGPipeline(cfg, embed_model=CountingEmbedder())
+    assert CountingEmbedder.calls == 0  # loaded from artifact, not re-embedded
+
+
+class FakeRerankScorer:
+    cutoff_layer = 28
+
+    def score_pairs(self, pairs, judge=False):
+        return (
+            np.array([float(len(p)) for _, p in pairs], dtype=np.float32),
+            self.cutoff_layer,
+        )
+
+
+def test_rerank_wired_into_pipeline(tmp_path):
+    from easyrag_tpu.rerankers import LLMRerank
+
+    cfg = _config(tmp_path, use_reranker=2, r_topk=2)
+    reranker = LLMRerank(FakeRerankScorer(), top_n=2, embed_bs=4, embed_type=1)
+    pipeline = EasyRAGPipeline(cfg, reranker=reranker)
+    res = _run(pipeline, {"query": "CDU虚机扩容的最大SC个数是多少？"})
+    assert len(res["nodes"]) <= 2
+    lengths = [len(n.node.text) for n in res["nodes"]]
+    assert lengths == sorted(lengths, reverse=True)  # scored by length desc
+
+
+def test_fusion_dedup_and_rrf_semantics():
+    n1 = NodeWithScore(node=TextNode(text="A"), score=3.0)
+    n2 = NodeWithScore(node=TextNode(text="B"), score=2.0)
+    n1_dup = NodeWithScore(node=TextNode(text="A"), score=1.0)
+    n3 = NodeWithScore(node=TextNode(text="C"), score=2.5)
+    fused = HybridRetriever.fusion([[n1, n2], [n1_dup, n3]], topk=10)
+    assert [n.get_content() for n in fused] == ["A", "C", "B"]
+    assert fused[0].score == 3.0  # first occurrence kept
+
+    rrf = HybridRetriever.reciprocal_rank_fusion([[n1, n2], [n3, n1_dup]], topk=10)
+    # A: 1/61 + 1/62, C: 1/61, B: 1/62
+    assert [n.get_content() for n in rrf] == ["A", "C", "B"]
+    assert rrf[0].score == pytest.approx(1 / 61 + 1 / 62)
+
+
+def test_compressor_bm25_extract(tmp_path):
+    cfg = _config(tmp_path, compress_method="bm25_extract", compress_rate=0.4)
+    pipeline = EasyRAGPipeline(cfg)
+    context = (
+        "CDU虚机每次扩容的最大SC个数为15。备份文件存储在共享存储上。"
+        "鉴权日志位于日志目录。扩容前需要检查资源池容量。"
+    )
+    out = pipeline.compressor.compress("CDU扩容个数", context)
+    assert len(out) < len(context)
+    assert "扩容" in out
+
+
+def test_generation_retry_gives_up():
+    from easyrag_tpu.generation import generation
+
+    class FailingLLM:
+        calls = 0
+
+        async def acomplete(self, prompt):
+            FailingLLM.calls += 1
+            raise RuntimeError("boom")
+
+    res = asyncio.get_event_loop().run_until_complete(
+        generation(FailingLLM(), "prompt")
+    )
+    assert res.text == "无法确定"
+    assert FailingLLM.calls == 10
+
+
+def test_ans_refine_and_generation_paths(tmp_path):
+    class EchoLLM:
+        async def acomplete(self, prompt):
+            from easyrag_tpu.generation import CompletionResponse
+
+            return CompletionResponse(text="回答X")
+
+    cfg = _config(tmp_path, re_only=False, ans_refine_type=2)
+    pipeline = EasyRAGPipeline(cfg, llm=EchoLLM())
+    res = _run(pipeline, {"query": "CDU虚机扩容的最大SC个数是多少？"})
+    # type 2: top-1 content concatenated onto the answer
+    assert res["answer"].startswith("回答X\n\n")
+    assert "CDU" in res["answer"]
+
+
+def test_api_contract(tmp_path):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from easyrag_tpu.serving.api import create_app
+
+    pipeline = EasyRAGPipeline(_config(tmp_path))
+    app = create_app(pipeline)
+
+    async def drive():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.get("/test")
+            assert await resp.json() == "hello rag"
+            resp = await client.post(
+                "/v1/rag", json={"query": "CDU虚机扩容的最大SC个数是多少？"}
+            )
+            body = await resp.json()
+            assert body["answer"] == ""
+            assert any("CDU" in c for c in body["contexts"])
+            assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        finally:
+            await client.close()
+
+    asyncio.get_event_loop().run_until_complete(drive())
