@@ -1,0 +1,187 @@
+"""Benchmark: sparse (BM25) retrieval query throughput, TPU vs the
+reference's CPU scoring path.
+
+The reference scores every query over the full corpus in Python/numpy
+(rank_bm25 at ``src/easyrag/custom/retrievers.py:113-151``: per query term,
+a Python loop builds the term-frequency vector from per-doc dicts, then
+numpy math + full argsort). The baseline below reproduces that cost model
+faithfully (same data structures, same per-term O(N) dict walk, same
+argsort). Ours is the packed eager-score index: host gather of posting
+slices + device scatter/top-k in one jitted step, queries batched.
+
+Both sides consume identical pre-tokenized queries (jieba cost is common
+and excluded from both). Corpus is synthetic but statistically shaped like
+the zedx chunk corpus (~20k chunks, Zipfian vocabulary, ~300 tokens/chunk).
+
+Prints ONE JSON line: {"metric", "value" (our qps), "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+N_DOCS = 20_000
+VOCAB = 40_000
+DOC_LEN_MEAN = 300
+N_QUERIES = 64
+QUERY_TERMS = 12
+BATCH = 8
+TOPK = 192
+PAD_POSTINGS = 32_768
+BASELINE_QUERIES = 16  # the python path is slow; extrapolate from fewer
+
+
+def make_corpus(rng):
+    # Zipfian token distribution: a realistic postings skew
+    zipf = 1.0 / np.arange(1, VOCAB + 1)
+    zipf /= zipf.sum()
+    lengths = rng.poisson(DOC_LEN_MEAN, size=N_DOCS).clip(30)
+    corpus = [
+        rng.choice(VOCAB, size=n, p=zipf).tolist() for n in lengths
+    ]
+    return [[f"t{t}" for t in doc] for doc in corpus]
+
+
+def make_queries(rng, corpus):
+    # real queries pass jieba + HIT-stopword removal, which strips the
+    # highest-frequency function words; emulate by excluding the Zipf head
+    stop = {f"t{t}" for t in range(32)}
+    queries = []
+    for _ in range(N_QUERIES):
+        doc = [t for t in corpus[rng.integers(0, len(corpus))] if t not in stop]
+        take = rng.choice(len(doc), size=min(QUERY_TERMS, len(doc)), replace=False)
+        queries.append([doc[i] for i in take])
+    return queries
+
+
+class ReferenceBM25:
+    """rank_bm25.BM25Okapi cost model: per-doc term-frequency dicts, per-term
+    O(N) python walk, full argsort ranking."""
+
+    def __init__(self, corpus, k1=1.5, b=0.75, epsilon=0.25):
+        self.k1, self.b = k1, b
+        self.corpus_size = len(corpus)
+        self.doc_freqs = []
+        nd = {}
+        self.doc_len = []
+        total = 0
+        for doc in corpus:
+            self.doc_len.append(len(doc))
+            total += len(doc)
+            freqs = {}
+            for tok in doc:
+                freqs[tok] = freqs.get(tok, 0) + 1
+            self.doc_freqs.append(freqs)
+            for tok in freqs:
+                nd[tok] = nd.get(tok, 0) + 1
+        self.avgdl = total / self.corpus_size
+        idf_sum, negative = 0.0, []
+        self.idf = {}
+        for tok, df in nd.items():
+            idf = np.log(self.corpus_size - df + 0.5) - np.log(df + 0.5)
+            self.idf[tok] = idf
+            idf_sum += idf
+            if idf < 0:
+                negative.append(tok)
+        avg_idf = idf_sum / len(self.idf)
+        for tok in negative:
+            self.idf[tok] = epsilon * avg_idf
+        self.doc_len = np.array(self.doc_len)
+
+    def get_scores(self, query):
+        score = np.zeros(self.corpus_size)
+        for q in query:
+            q_freq = np.array([doc.get(q) or 0 for doc in self.doc_freqs])
+            score += (self.idf.get(q) or 0) * (
+                q_freq * (self.k1 + 1)
+                / (q_freq + self.k1 * (1 - self.b + self.b * self.doc_len / self.avgdl))
+            )
+        return score
+
+    def query_topk(self, query, k):
+        scores = self.get_scores(query)
+        return scores.argsort()[::-1][:k]
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from easyrag_tpu.index.sparse import build_sparse_index
+    from easyrag_tpu.ops.bm25 import bm25_score_topk
+
+    rng = np.random.default_rng(0)
+    corpus = make_corpus(rng)
+    queries = make_queries(rng, corpus)
+
+    # ---- baseline: reference CPU path ----
+    ref = ReferenceBM25(corpus)
+    t0 = time.perf_counter()
+    for q in queries[:BASELINE_QUERIES]:
+        ref.query_topk(q, TOPK)
+    baseline_qps = BASELINE_QUERIES / (time.perf_counter() - t0)
+
+    # ---- ours: packed index + TPU scoring ----
+    index = build_sparse_index(corpus, bm25_type=0)
+
+    def gather_batch(batch):
+        rows = [
+            index.gather_postings(
+                index.query_term_ids(q), pad_to=PAD_POSTINGS, bucket=True
+            )
+            for q in batch
+        ]
+        width = max(r[0].shape[0] for r in rows)
+        ids = np.full((len(rows), width), index.num_docs, dtype=np.int32)
+        vals = np.zeros((len(rows), width), dtype=np.float32)
+        for i, (rid, rval) in enumerate(rows):
+            ids[i, : len(rid)] = rid
+            vals[i, : len(rval)] = rval
+        return ids, vals
+
+    # warmup: compile every posting-buffer width the run will see
+    batches = []
+    for lo in range(0, N_QUERIES, BATCH):
+        batch = queries[lo : lo + BATCH]
+        if len(batch) < BATCH:
+            batch = batch + batch[: BATCH - len(batch)]
+        batches.append(gather_batch(batch))
+    for width in sorted({ids.shape[1] for ids, _ in batches}):
+        ids, vals = next(b for b in batches if b[0].shape[1] == width)
+        out = bm25_score_topk(
+            jnp.asarray(ids), jnp.asarray(vals), index.num_docs, TOPK
+        )
+        jax.block_until_ready(out)
+
+    # timed: host gather + transfer + device scatter/top-k + sync, per batch
+    t0 = time.perf_counter()
+    done = 0
+    for lo in range(0, N_QUERIES, BATCH):
+        batch = queries[lo : lo + BATCH]
+        if len(batch) < BATCH:
+            batch = batch + batch[: BATCH - len(batch)]
+        ids, vals = gather_batch(batch)
+        out = bm25_score_topk(
+            jnp.asarray(ids), jnp.asarray(vals), index.num_docs, TOPK
+        )
+        jax.block_until_ready(out)
+        done += len(batch)
+    ours_qps = done / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sparse_bm25_query_throughput_20k_docs_top192",
+                "value": round(ours_qps, 2),
+                "unit": "queries/s",
+                "vs_baseline": round(ours_qps / baseline_qps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

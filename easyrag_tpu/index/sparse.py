@@ -184,11 +184,21 @@ class SparseIndex:
         return [vocab[t] for t in query_tokens if t in vocab]
 
     def gather_postings(
-        self, term_ids: Sequence[int], pad_to: Optional[int] = None
+        self,
+        term_ids: Sequence[int],
+        pad_to: Optional[int] = None,
+        bucket: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Concatenate posting slices of the query terms into
-        ``(doc_ids, vals)``; optionally pad to a static length with
-        ``doc_id == num_docs`` (a drop sentinel for device scatter)."""
+        ``(doc_ids, vals)``, padded to a static length with
+        ``doc_id == num_docs`` (a drop sentinel for device scatter).
+
+        ``pad_to`` fixes the length exactly; with ``bucket=True`` it is a
+        *cap* and the length is the smallest power of two ≥ the need (each
+        bucket compiles once). The cap is itself soft — common-term-heavy
+        queries may legitimately exceed it, and a bigger transfer beats a
+        crash — but the true ceiling is the full postings count.
+        """
         offs = self.stats.term_offsets
         chunks_d, chunks_v = [], []
         for tid in term_ids:
@@ -202,10 +212,16 @@ class SparseIndex:
             doc_ids = np.zeros(0, dtype=np.int32)
             vals = np.zeros(0, dtype=np.float32)
         if pad_to is not None:
-            if len(doc_ids) > pad_to:
+            need = len(doc_ids)
+            if bucket:
+                size = 1024
+                while size < need:
+                    size *= 2
+                pad_to = size
+            elif need > pad_to:
                 raise ValueError(
-                    f"query postings ({len(doc_ids)}) exceed pad_to ({pad_to}); "
-                    "raise tpu.max_query_postings"
+                    f"query postings ({need}) exceed pad_to ({pad_to}); "
+                    "raise tpu.max_query_postings or pass bucket=True"
                 )
             pad = pad_to - len(doc_ids)
             doc_ids = np.concatenate(

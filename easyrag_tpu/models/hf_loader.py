@@ -69,6 +69,7 @@ def load_decoder_params(
     num_layers: int,
     start_layer: Optional[int] = None,
     gemma: bool = False,
+    head_layer_sep: int = 1,
     dtype=jnp.bfloat16,
 ) -> Dict[str, Any]:
     """Stream safetensors into the layers.py pytree (bf16 by default)."""
@@ -93,7 +94,9 @@ def load_decoder_params(
             # layerwise heads: lm_head.{j}.linear_head.weight (f32 heads)
             if parts[1].isdigit():
                 j = int(parts[1])
-                heads[(start_layer or 0) + j] = jnp.asarray(tensor).astype(jnp.float32)
+                heads[(start_layer or 0) + j * head_layer_sep] = jnp.asarray(
+                    tensor
+                ).astype(jnp.float32)
             else:  # plain causal-lm head (e.g. 'Yes'-logit rerankers)
                 params["lm_head"] = put(tensor)
         elif parts[0] == "layers":

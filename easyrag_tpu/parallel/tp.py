@@ -1,0 +1,72 @@
+"""Tensor-parallel sharding of the decoder params over a mesh "model" axis.
+
+Megatron-style layout via ``NamedSharding`` annotations — XLA inserts the
+all-reduces (the scaling-book recipe; no hand-written collectives):
+
+* q/k/v and gate/up projections: output dim sharded (column parallel)
+* o and down projections: input dim sharded (row parallel)
+* embeddings/norms/heads: replicated
+
+Requires ``num_attention_heads % mp == 0`` (and kv heads likewise).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..models.layers import DecoderConfig
+
+
+def shard_decoder_params(
+    mesh: Mesh, cfg: DecoderConfig, params: Dict[str, Any], axis: str = "model"
+) -> Dict[str, Any]:
+    mp = mesh.shape[axis]
+    if cfg.num_attention_heads % mp or cfg.num_key_value_heads % mp:
+        raise ValueError(
+            f"heads ({cfg.num_attention_heads}/{cfg.num_key_value_heads}) "
+            f"not divisible by model-parallel size {mp}"
+        )
+
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+
+    col_w, row_w = ns(P(axis, None)), ns(P(None, axis))
+    col_b, rep = ns(P(axis)), ns(P())
+
+    def shard_dense(p, col: bool):
+        out = {"w": jax.device_put(p["w"], col_w if col else row_w)}
+        if "b" in p:
+            out["b"] = jax.device_put(p["b"], col_b if col else rep)
+        return out
+
+    out: Dict[str, Any] = {
+        "embed": jax.device_put(params["embed"], rep),
+        "final_norm": jax.device_put(params["final_norm"], rep),
+        "layers": [],
+    }
+    for layer in params["layers"]:
+        new = {
+            "attn": {
+                "q": shard_dense(layer["attn"]["q"], col=True),
+                "k": shard_dense(layer["attn"]["k"], col=True),
+                "v": shard_dense(layer["attn"]["v"], col=True),
+                "o": shard_dense(layer["attn"]["o"], col=False),
+            },
+            "mlp": {
+                "gate": shard_dense(layer["mlp"]["gate"], col=True),
+                "up": shard_dense(layer["mlp"]["up"], col=True),
+                "down": shard_dense(layer["mlp"]["down"], col=False),
+            },
+        }
+        for key in layer:
+            if key not in ("attn", "mlp"):
+                new[key] = jax.device_put(layer[key], rep)
+        out["layers"].append(new)
+    for key in params:
+        if key not in out:
+            out[key] = jax.tree.map(lambda a: jax.device_put(a, rep), params[key])
+    return out

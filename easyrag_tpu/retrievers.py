@@ -119,7 +119,7 @@ class BM25Retriever:
         term_ids = self.index.query_term_ids(self._tokenize_query(query))
         if self.use_device:
             ids, vals = self.index.gather_postings(
-                term_ids, pad_to=self.max_query_postings
+                term_ids, pad_to=self.max_query_postings, bucket=True
             )
             dir_f = self._dir_filter_value()
             if dir_f == -2:

@@ -1,0 +1,71 @@
+"""Multi-chip sharding parity on the 8-virtual-device CPU mesh: sharded
+dense/sparse query results must equal the single-chip path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from easyrag_tpu.index.dense import DenseIndex, l2_normalize
+from easyrag_tpu.index.sparse import build_sparse_index
+from easyrag_tpu.ops.bm25 import bm25_score_topk
+from easyrag_tpu.parallel.mesh import data_model_mesh, make_mesh
+from easyrag_tpu.parallel.sharded import ShardedDenseIndex, ShardedSparseScorer
+from oracles import synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_mesh([8], ("data",))
+
+
+def test_make_mesh_shapes():
+    m = data_model_mesh(8, model_parallel=2)
+    assert m.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        data_model_mesh(8, model_parallel=3)
+
+
+def test_sharded_dense_matches_single_chip(mesh):
+    rng = np.random.default_rng(0)
+    n, d, b, k = 203, 64, 4, 17  # deliberately not divisible by 8
+    matrix = l2_normalize(rng.normal(size=(n, d)).astype(np.float32))
+    queries = l2_normalize(rng.normal(size=(b, d)).astype(np.float32))
+
+    single = DenseIndex(matrix=jnp.asarray(matrix))
+    from easyrag_tpu.index.dense import dense_score_topk
+
+    sv, si = dense_score_topk(jnp.asarray(queries), single.matrix, k)
+
+    sharded = ShardedDenseIndex(mesh, matrix, dtype=jnp.float32)
+    mv, mi = sharded.query(queries, k)
+
+    np.testing.assert_allclose(mv, np.asarray(sv), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(mi, np.asarray(si))
+
+
+def test_sharded_sparse_matches_single_chip(mesh):
+    corpus = synthetic_corpus(num_docs=97, vocab=120, seed=3)
+    index = build_sparse_index(corpus, bm25_type=0)
+    queries = [["w3", "w14", "w15"], ["w0"], ["w9", "w9"], ["w1", "w2", "w5"]]
+    ids = np.stack(
+        [index.gather_postings(index.query_term_ids(q), pad_to=2048)[0] for q in queries]
+    )
+    vals = np.stack(
+        [index.gather_postings(index.query_term_ids(q), pad_to=2048)[1] for q in queries]
+    )
+    k = 13
+    sv, si = bm25_score_topk(jnp.asarray(ids), jnp.asarray(vals), index.num_docs, k)
+
+    scorer = ShardedSparseScorer(mesh, index.num_docs)
+    mv, mi = scorer.score_topk(ids, vals, k)
+
+    sv, si = np.asarray(sv), np.asarray(si)
+    for row in range(len(queries)):
+        finite = np.isfinite(sv[row])
+        np.testing.assert_allclose(mv[row][finite], sv[row][finite], rtol=1e-5)
+        np.testing.assert_array_equal(mi[row][finite], si[row][finite])
+        # dropped entries are -inf on both paths
+        assert not np.isfinite(mv[row][~finite]).any()
