@@ -26,9 +26,9 @@ import numpy as np
 N_DOCS = 20_000
 VOCAB = 40_000
 DOC_LEN_MEAN = 300
-N_QUERIES = 64
+N_QUERIES = 128
 QUERY_TERMS = 12
-BATCH = 8
+BATCH = 32
 TOPK = 192
 PAD_POSTINGS = 32_768
 BASELINE_QUERIES = 16  # the python path is slow; extrapolate from fewer
@@ -111,7 +111,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from easyrag_tpu.index.sparse import build_sparse_index
-    from easyrag_tpu.ops.bm25 import bm25_score_topk
+    from easyrag_tpu.ops.bm25 import bm25_score_topk, pack_postings
 
     rng = np.random.default_rng(0)
     corpus = make_corpus(rng)
@@ -140,7 +140,8 @@ def main() -> None:
         for i, (rid, rval) in enumerate(rows):
             ids[i, : len(rid)] = rid
             vals[i, : len(rval)] = rval
-        return ids, vals
+        # one packed array = one host->device transfer per batch
+        return pack_postings(ids, vals)
 
     # warmup: compile every posting-buffer width the run will see
     batches = []
@@ -149,26 +150,27 @@ def main() -> None:
         if len(batch) < BATCH:
             batch = batch + batch[: BATCH - len(batch)]
         batches.append(gather_batch(batch))
-    for width in sorted({ids.shape[1] for ids, _ in batches}):
-        ids, vals = next(b for b in batches if b[0].shape[1] == width)
-        out = bm25_score_topk(
-            jnp.asarray(ids), jnp.asarray(vals), index.num_docs, TOPK
-        )
+    for width in sorted({p.shape[-1] for p in batches}):
+        packed = next(p for p in batches if p.shape[-1] == width)
+        out = bm25_score_topk(jnp.asarray(packed), None, index.num_docs, TOPK)
         jax.block_until_ready(out)
 
-    # timed: host gather + transfer + device scatter/top-k + sync, per batch
+    # timed: host gather + one packed transfer + device scatter/top-k per
+    # batch. Dispatch is async so host gather of batch i+1 overlaps device
+    # work of batch i; one sync at the end (throughput measurement).
     t0 = time.perf_counter()
     done = 0
+    outs = []
     for lo in range(0, N_QUERIES, BATCH):
         batch = queries[lo : lo + BATCH]
         if len(batch) < BATCH:
             batch = batch + batch[: BATCH - len(batch)]
-        ids, vals = gather_batch(batch)
-        out = bm25_score_topk(
-            jnp.asarray(ids), jnp.asarray(vals), index.num_docs, TOPK
+        packed = gather_batch(batch)
+        outs.append(
+            bm25_score_topk(jnp.asarray(packed), None, index.num_docs, TOPK)
         )
-        jax.block_until_ready(out)
         done += len(batch)
+    jax.block_until_ready(outs)
     ours_qps = done / (time.perf_counter() - t0)
 
     print(

@@ -249,9 +249,37 @@ def build_sparse_index(
     b: float = 0.75,
     epsilon: float = 0.25,
     dirs: Optional[Sequence[str]] = None,
+    use_native: Optional[bool] = None,
 ) -> SparseIndex:
-    stats = build_stats(corpus_tokens)
-    vals = eager_scores(stats, bm25_type=bm25_type, k1=k1, b=b, epsilon=epsilon)
+    """Build the packed index. ``use_native=None`` auto-selects the C++
+    builder when available (identical outputs; ~10x faster build on large
+    corpora), True requires it, False forces the Python builder."""
+    stats = None
+    vals = None
+    if use_native is not False:
+        from ..native import build_index_native
+
+        built = build_index_native(
+            corpus_tokens, k1=k1, b=b, epsilon=epsilon, bm25_type=bm25_type
+        )
+        if built is not None:
+            vocab, doc_lens, term_offsets, post_docs, post_tfs, post_vals = built
+            n = len(corpus_tokens)
+            stats = BM25Stats(
+                num_docs=n,
+                doc_lens=doc_lens,
+                avgdl=float(doc_lens.sum()) / n if n else 0.0,
+                vocab=vocab,
+                term_offsets=term_offsets,
+                post_docs=post_docs,
+                post_tfs=post_tfs,
+            )
+            vals = post_vals
+        elif use_native:
+            raise RuntimeError("native index builder requested but unavailable")
+    if stats is None:
+        stats = build_stats(corpus_tokens)
+        vals = eager_scores(stats, bm25_type=bm25_type, k1=k1, b=b, epsilon=epsilon)
     dir_ids = None
     dir_vocab: Dict[str, int] = {}
     if dirs is not None:

@@ -149,6 +149,27 @@ def test_score_topk_filter_semantics(corpus):
         )
 
 
+def test_packed_postings_roundtrip(corpus):
+    import jax.numpy as jnp
+
+    from easyrag_tpu.ops.bm25 import bm25_score_topk, pack_postings
+
+    index = build_sparse_index(corpus, bm25_type=0)
+    qs = [["w3", "w14", "w15"], ["w0"]]
+    ids = np.stack(
+        [index.gather_postings(index.query_term_ids(q), pad_to=2048)[0] for q in qs]
+    )
+    vals = np.stack(
+        [index.gather_postings(index.query_term_ids(q), pad_to=2048)[1] for q in qs]
+    )
+    plain = bm25_score_topk(jnp.asarray(ids), jnp.asarray(vals), index.num_docs, 10)
+    packed = bm25_score_topk(
+        jnp.asarray(pack_postings(ids, vals)), None, index.num_docs, 10
+    )
+    np.testing.assert_array_equal(np.asarray(plain[0]), np.asarray(packed[0]))
+    np.testing.assert_array_equal(np.asarray(plain[1]), np.asarray(packed[1]))
+
+
 def test_sparse_index_save_load(tmp_path, corpus):
     from easyrag_tpu.index.sparse import load_sparse_index, save_sparse_index
 
