@@ -108,10 +108,9 @@ class ReferenceBM25:
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from easyrag_tpu.index.sparse import build_sparse_index
-    from easyrag_tpu.ops.bm25 import bm25_score_topk, pack_postings
+    from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
 
     rng = np.random.default_rng(0)
     corpus = make_corpus(rng)
@@ -124,50 +123,42 @@ def main() -> None:
         ref.query_topk(q, TOPK)
     baseline_qps = BASELINE_QUERIES / (time.perf_counter() - t0)
 
-    # ---- ours: packed index + TPU scoring ----
+    # ---- ours: device-resident index (HBM postings; queries ship only
+    # term ids + counts, a few KB per batch) ----
     index = build_sparse_index(corpus, bm25_type=0)
+    resident = ResidentSparseIndex(index, light_cap=2048, max_query_terms=16)
 
-    def gather_batch(batch):
-        rows = [
-            index.gather_postings(
-                index.query_term_ids(q), pad_to=PAD_POSTINGS, bucket=True
-            )
-            for q in batch
-        ]
-        width = max(r[0].shape[0] for r in rows)
-        ids = np.full((len(rows), width), index.num_docs, dtype=np.int32)
-        vals = np.zeros((len(rows), width), dtype=np.float32)
-        for i, (rid, rval) in enumerate(rows):
-            ids[i, : len(rid)] = rid
-            vals[i, : len(rval)] = rval
-        # one packed array = one host->device transfer per batch
-        return pack_postings(ids, vals)
+    def batches():
+        for lo in range(0, N_QUERIES, BATCH):
+            batch = queries[lo : lo + BATCH]
+            if len(batch) < BATCH:
+                batch = batch + batch[: BATCH - len(batch)]
+            yield batch
 
-    # warmup: compile every posting-buffer width the run will see
-    batches = []
-    for lo in range(0, N_QUERIES, BATCH):
-        batch = queries[lo : lo + BATCH]
-        if len(batch) < BATCH:
-            batch = batch + batch[: BATCH - len(batch)]
-        batches.append(gather_batch(batch))
-    for width in sorted({p.shape[-1] for p in batches}):
-        packed = next(p for p in batches if p.shape[-1] == width)
-        out = bm25_score_topk(jnp.asarray(packed), None, index.num_docs, TOPK)
-        jax.block_until_ready(out)
+    # warmup/compile (one static shape)
+    jax.block_until_ready(
+        resident._score_topk(
+            *map(
+                lambda a: jax.numpy.asarray(np.stack(a)),
+                zip(*(resident.query_terms(q) for q in next(batches()))),
+            ),
+            TOPK,
+        )
+    )
 
-    # timed: host gather + one packed transfer + device scatter/top-k per
-    # batch. Dispatch is async so host gather of batch i+1 overlaps device
-    # work of batch i; one sync at the end (throughput measurement).
+    # timed: host term lookup + tiny transfer + device matmul/gather/top-k;
+    # async dispatch, one sync at the end (throughput measurement)
     t0 = time.perf_counter()
     done = 0
     outs = []
-    for lo in range(0, N_QUERIES, BATCH):
-        batch = queries[lo : lo + BATCH]
-        if len(batch) < BATCH:
-            batch = batch + batch[: BATCH - len(batch)]
-        packed = gather_batch(batch)
+    for batch in batches():
+        ids, cnts = zip(*(resident.query_terms(q) for q in batch))
         outs.append(
-            bm25_score_topk(jnp.asarray(packed), None, index.num_docs, TOPK)
+            resident._score_topk(
+                jax.numpy.asarray(np.stack(ids)),
+                jax.numpy.asarray(np.stack(cnts)),
+                TOPK,
+            )
         )
         done += len(batch)
     jax.block_until_ready(outs)

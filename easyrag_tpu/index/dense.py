@@ -52,8 +52,10 @@ def dense_score_topk(
         preferred_element_type=jnp.float32,
     )  # [B, N]
     if dir_col is not None and dir_filter is not None:
+        # -1 disables filtering; -2 (unknown dir) matches nothing, matching
+        # qdrant's must-match semantics for a value absent from the corpus
         keep = jnp.logical_or(
-            dir_filter[:, None] < 0, dir_col[None, :] == dir_filter[:, None]
+            dir_filter[:, None] == -1, dir_col[None, :] == dir_filter[:, None]
         )
         scores = jnp.where(keep, scores, NEG_INF)
     return topk_desc_reference_order(scores, k)
@@ -110,7 +112,7 @@ class DenseIndex:
         dir_col = jnp.asarray(self.dir_ids) if self.dir_ids is not None else None
         dir_f = None
         if dir_col is not None:
-            fid = self.dir_vocab.get(dir_value, -1) if dir_value else -1
+            fid = self.dir_vocab.get(dir_value, -2) if dir_value else -1
             dir_f = jnp.full((q.shape[0],), fid, dtype=jnp.int32)
         vals, idx = dense_score_topk(
             jnp.asarray(q), self.matrix, k, dir_col=dir_col, dir_filter=dir_f

@@ -105,7 +105,8 @@ def bm25_score_topk(
     s = scores if batched else scores[None, :]
     if dir_col is not None and dir_filter is not None:
         dir_f = jnp.atleast_1d(dir_filter)
-        keep = jnp.logical_or(dir_f[:, None] < 0, dir_col[None, :] == dir_f[:, None])
+        # -1 disables filtering; -2 (unknown dir) matches nothing
+        keep = jnp.logical_or(dir_f[:, None] == -1, dir_col[None, :] == dir_f[:, None])
         s = jnp.where(keep, s, NEG_INF)
     # reference drops score <= 0 (retrievers.py:195-196)
     s = jnp.where(s > 0, s, NEG_INF)

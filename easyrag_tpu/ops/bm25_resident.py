@@ -1,0 +1,196 @@
+"""Fully device-resident BM25 index: HBM postings, KB-sized queries.
+
+The gather-on-host path (``ops/bm25.py``) ships megabytes of postings per
+query batch — fine on a local chip, but a remote-attached TPU is transfer
+bound. Here the index lives in HBM once and a query transfers only its term
+ids and counts (a few KB), the design BASELINE.json prescribes ("CSR
+postings + term-at-a-time scoring over HBM").
+
+Zipf-aware split:
+
+* **heavy terms** (postings > ``light_cap``, the Zipf head — a few hundred
+  terms): their full per-doc contribution rows are packed into a dense
+  ``[H, N]`` f32 matrix. A query's heavy part is one MXU matmul:
+  ``counts_onehot [B, H] @ heavy [H, N]``.
+* **light terms** (the tail): CSR postings stay packed in HBM; the device
+  gathers each query term's ≤``light_cap`` postings with a bounded window
+  and scatter-adds them.
+
+Both parts accumulate in f32; results match the host float64 oracle to f32
+rounding, and ordering/tie policy matches ``ops/topk.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.sparse import SparseIndex
+from .topk import topk_desc_reference_order
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+class ResidentSparseIndex:
+    def __init__(
+        self,
+        index: SparseIndex,
+        light_cap: int = 1024,
+        max_query_terms: int = 64,
+    ) -> None:
+        self.host_index = index
+        self.num_docs = index.num_docs
+        self.light_cap = light_cap
+        self.max_query_terms = max_query_terms
+
+        offs = index.stats.term_offsets
+        lens = np.diff(offs).astype(np.int32)
+        V = len(lens)
+        heavy_terms = np.where(lens > light_cap)[0]
+        H = max(int(len(heavy_terms)), 1)
+        H = ((H + 7) // 8) * 8  # pad for clean tiling
+
+        heavy_matrix = np.zeros((H, index.num_docs), dtype=np.float32)
+        heavy_row = np.full(V + 1, -1, dtype=np.int32)  # +1: pad-term slot
+        for row, t in enumerate(heavy_terms):
+            lo, hi = offs[t], offs[t + 1]
+            heavy_matrix[row, index.stats.post_docs[lo:hi]] = index.post_vals[
+                lo:hi
+            ].astype(np.float32)
+            heavy_row[t] = row
+
+        starts = np.zeros(V + 1, dtype=np.int32)
+        starts[:V] = offs[:-1]
+        light_lens = np.zeros(V + 1, dtype=np.int32)
+        light_lens[:V] = lens
+        light_lens[:V][heavy_terms] = 0  # heavy terms excluded from gather
+
+        P = len(index.stats.post_docs)
+        # pad the postings arrays with one sentinel slot (doc id = N, val 0)
+        post_docs = np.concatenate(
+            [index.stats.post_docs.astype(np.int32), [index.num_docs]]
+        )
+        post_vals = np.concatenate(
+            [index.post_vals.astype(np.float32), [0.0]]
+        ).astype(np.float32)
+
+        self.V = V
+        self.P = P
+        self.heavy = jnp.asarray(heavy_matrix)
+        self.t_heavy_row = jnp.asarray(heavy_row)
+        self.t_starts = jnp.asarray(starts)
+        self.t_light_lens = jnp.asarray(light_lens)
+        self.post_docs = jnp.asarray(post_docs)
+        self.post_vals = jnp.asarray(post_vals)
+        self.dir_col = (
+            jnp.asarray(index.dir_ids) if index.dir_ids is not None else None
+        )
+        self.dir_vocab = index.dir_vocab
+
+    # -- host-side query prep -------------------------------------------------
+
+    def query_terms(self, query_tokens: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Tokens -> (term_ids[T], counts[T]) padded with the sentinel term.
+
+        Duplicate query tokens become counts (rank_bm25 sums per occurrence).
+        """
+        vocab = self.host_index.stats.vocab
+        counts: dict = {}
+        for tok in query_tokens:
+            tid = vocab.get(tok)
+            if tid is not None:
+                counts[tid] = counts.get(tid, 0) + 1
+        T = self.max_query_terms
+        ids = np.full(T, self.V, dtype=np.int32)
+        cnt = np.zeros(T, dtype=np.float32)
+        for i, (tid, c) in enumerate(list(counts.items())[:T]):
+            ids[i] = tid
+            cnt[i] = c
+        if len(counts) > T:
+            raise ValueError(
+                f"query has {len(counts)} distinct terms > max_query_terms={T}"
+            )
+        return ids, cnt
+
+    # -- device scoring ---------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "k"))
+    def _score_topk(
+        self,
+        term_ids: jnp.ndarray,  # [B, T]
+        counts: jnp.ndarray,  # [B, T] f32
+        k: int,
+        dir_filter: Optional[jnp.ndarray] = None,  # [B] int32 or None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, T = term_ids.shape
+        N, C = self.num_docs, self.light_cap
+        H = self.heavy.shape[0]
+
+        # heavy part: one-hot-with-counts [B, H] @ heavy [H, N] on the MXU
+        hrow = self.t_heavy_row[term_ids]  # [B, T], -1 for light/pad
+        hrow_or_drop = jnp.where(hrow >= 0, hrow, H)
+        A = jnp.zeros((B, H), jnp.float32)
+        b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+        A = A.at[b_idx, hrow_or_drop].add(
+            jnp.where(hrow >= 0, counts, 0.0), mode="drop"
+        )
+        scores = jax.lax.dot_general(
+            A,
+            self.heavy,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # keep f32 exact on the MXU
+        )  # [B, N]
+
+        # light part: bounded gather of each term's postings + scatter-add
+        starts = self.t_starts[term_ids]  # [B, T]
+        lens = self.t_light_lens[term_ids]
+        win = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+        valid = win < lens[:, :, None]
+        pos = jnp.where(valid, starts[:, :, None] + win, self.P)  # sentinel slot
+        docs = self.post_docs[pos]  # [B, T, C]; sentinel -> N
+        vals = self.post_vals[pos] * counts[:, :, None]
+        b_idx3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, T, C))
+        scores = scores.at[b_idx3.reshape(B, -1), docs.reshape(B, -1)].add(
+            vals.reshape(B, -1), mode="drop"
+        )
+
+        if self.dir_col is not None and dir_filter is not None:
+            # -1 disables filtering; -2 (unknown dir) matches nothing
+            keep = jnp.logical_or(
+                dir_filter[:, None] == -1,
+                self.dir_col[None, :] == dir_filter[:, None],
+            )
+            scores = jnp.where(keep, scores, NEG_INF)
+        scores = jnp.where(scores > 0, scores, NEG_INF)
+        top_vals, top_idx = topk_desc_reference_order(scores, k)
+        top_idx = jnp.where(jnp.isfinite(top_vals), top_idx, N)
+        return top_vals, top_idx
+
+    def score_topk(
+        self,
+        queries_tokens: Sequence[Sequence[str]],
+        k: int,
+        dir_values: Optional[Sequence[Optional[str]]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched query -> (scores[B,k], doc indices[B,k]); dropped entries
+        are (-inf, num_docs)."""
+        ids = np.stack([self.query_terms(q)[0] for q in queries_tokens])
+        cnts = np.stack([self.query_terms(q)[1] for q in queries_tokens])
+        dir_f = None
+        if dir_values is not None and self.dir_col is not None:
+            dir_f = jnp.asarray(
+                np.array(
+                    [
+                        self.dir_vocab.get(d, -2) if d else -1
+                        for d in dir_values
+                    ],
+                    dtype=np.int32,
+                )
+            )
+        tv, ti = self._score_topk(jnp.asarray(ids), jnp.asarray(cnts), k, dir_f)
+        return np.asarray(tv), np.asarray(ti)

@@ -29,6 +29,7 @@ from .corpus.splitter import SentenceSplitter
 from .corpus.tokenizer import JiebaTokenizer, default_stopwords, load_stopwords
 from .corpus.views import get_node_content
 from .generation import CompletionResponse, HyDETransform, OpenAICompatLLM, generation
+from .index.artifact import CorpusArtifact
 from .retrievers import BM25Retriever, DenseRetriever, HybridRetriever
 from .schema import NodeWithScore, QueryBundle, build_nodeid2idx
 from .templates import (
@@ -100,43 +101,70 @@ class EasyRAGPipeline:
                 embed_type=cfg.f_embed_type_1,
             )
 
-        # corpus -> nodes
+        # corpus -> nodes, with artifact fast boot (the reference reuses a
+        # populated qdrant collection, pipeline.py:138-158; we persist the
+        # whole corpus state incl. the sparse indexes BM25 would otherwise
+        # rebuild every boot)
         data_path = os.path.abspath(cfg.data_path)
-        if documents is None:
-            documents = read_data(data_path)
-        emit("ingestion", {"documents": len(documents)})
-        if cfg.split_type == 1:
-            parser = HierarchicalSplitter(
-                chunk_sizes=[cfg.chunk_size * 4, cfg.chunk_size],
-                chunk_overlap=cfg.chunk_overlap,
-            )
-        else:
-            parser = SentenceSplitter(
-                chunk_size=cfg.chunk_size, chunk_overlap=cfg.chunk_overlap
-            )
-        all_nodes = parser.parse_documents(documents)
-        run_extractors(all_nodes, data_path=data_path)
-        emit("chunking", {"nodes": len(all_nodes)})
-
-        # dense index (qdrant replacement): build or load artifact
-        self.dense_retriever = None
-        if cfg.retrieval_type != 2:
-            self.dense_retriever = self._build_dense(all_nodes, cfg)
-
-        # sparse retrievers over (leaf) nodes
+        fingerprint = {
+            "data_path": data_path,
+            "chunk_size": cfg.chunk_size,
+            "chunk_overlap": cfg.chunk_overlap,
+            "split_type": cfg.split_type,
+            "f_embed_type_2": cfg.f_embed_type_2,
+            "bm25_type": cfg.bm25_type,
+            "f_topk_3": cfg.f_topk_3,
+        }
+        artifact = (
+            CorpusArtifact(cfg.index_artifact_path)
+            if cfg.index_artifact_path
+            else None
+        )
         self.stp_words = (
             load_stopwords(cfg.stopwords_path)
             if cfg.stopwords_path
             else default_stopwords()
         )
         self.sparse_tk = JiebaTokenizer()
-        if cfg.split_type == 1:
-            self.nodes = get_leaf_nodes(all_nodes)
-            self.all_nodes = all_nodes
+
+        loaded = False
+        sparse_content_index = None
+        sparse_path_index = None
+        if artifact is not None and not cfg.reindex and artifact.matches(fingerprint):
+            self.nodes = artifact.load_nodes()
+            self.all_nodes = artifact.load_all_nodes() or self.nodes
+            sparse_content_index = artifact.load_sparse("content")
+            sparse_path_index = artifact.load_sparse("path")
+            emit("artifact", {"loaded_nodes": len(self.nodes)})
+            loaded = True
         else:
-            self.nodes = all_nodes
-            self.all_nodes = all_nodes
+            if documents is None:
+                documents = read_data(data_path)
+            emit("ingestion", {"documents": len(documents)})
+            if cfg.split_type == 1:
+                parser = HierarchicalSplitter(
+                    chunk_sizes=[cfg.chunk_size * 4, cfg.chunk_size],
+                    chunk_overlap=cfg.chunk_overlap,
+                )
+            else:
+                parser = SentenceSplitter(
+                    chunk_size=cfg.chunk_size, chunk_overlap=cfg.chunk_overlap
+                )
+            all_nodes = parser.parse_documents(documents)
+            run_extractors(all_nodes, data_path=data_path)
+            emit("chunking", {"nodes": len(all_nodes)})
+            if cfg.split_type == 1:
+                self.nodes = get_leaf_nodes(all_nodes)
+                self.all_nodes = all_nodes
+            else:
+                self.nodes = all_nodes
+                self.all_nodes = all_nodes
         self.nodeid2idx = build_nodeid2idx(self.nodes)
+
+        # dense index (qdrant replacement): build or load artifact
+        self.dense_retriever = None
+        if cfg.retrieval_type != 2:
+            self.dense_retriever = self._build_dense(self.nodes, cfg)
 
         self.sparse_retriever = BM25Retriever(
             nodes=self.nodes,
@@ -147,13 +175,8 @@ class EasyRAGPipeline:
             bm25_type=cfg.bm25_type,
             max_query_postings=cfg.tpu.max_query_postings,
             use_pallas=cfg.tpu.use_pallas,
+            index=sparse_content_index,
         )
-        if cfg.split_type == 1:
-            from .automerge import AutoMergingRetriever
-
-            self.sparse_retriever = AutoMergingRetriever(
-                self.sparse_retriever, self.all_nodes, simple_ratio_thresh=0.4
-            )
         if cfg.f_topk_3 != 0:
             self.path_retriever = BM25Retriever(
                 nodes=self.nodes,
@@ -164,9 +187,27 @@ class EasyRAGPipeline:
                 bm25_type=cfg.bm25_type,
                 max_query_postings=cfg.tpu.max_query_postings,
                 use_pallas=cfg.tpu.use_pallas,
+                index=sparse_path_index,
             )
         else:
             self.path_retriever = None
+
+        if artifact is not None and not loaded:
+            artifact.save(
+                self.nodes,
+                fingerprint,
+                sparse_content=self.sparse_retriever.index,
+                sparse_path=self.path_retriever.index if self.path_retriever else None,
+                all_nodes=self.all_nodes,
+            )
+            emit("artifact", {"saved_nodes": len(self.nodes)})
+
+        if cfg.split_type == 1:
+            from .automerge import AutoMergingRetriever
+
+            self.sparse_retriever = AutoMergingRetriever(
+                self.sparse_retriever, self.all_nodes, simple_ratio_thresh=0.4
+            )
 
         # route selection
         if cfg.retrieval_type == 1:

@@ -48,6 +48,9 @@ class BM25Retriever:
         max_query_postings: int = 32768,
         use_pallas: bool = False,
         use_device: bool = True,
+        index: Optional[SparseIndex] = None,
+        resident: bool = True,
+        max_query_terms: int = 64,
     ) -> None:
         self._nodes = nodes
         self._tokenizer = tokenizer
@@ -61,24 +64,36 @@ class BM25Retriever:
         self.use_device = use_device
         self.filter_dict: Optional[Dict[str, str]] = None
 
-        corpus_tokens = [
-            tokenize_and_remove_stopwords(
-                tokenizer, get_node_content(node, embed_type), stopwords
+        if index is not None:  # loaded from an on-disk artifact
+            self.index = index
+        else:
+            corpus_tokens = [
+                tokenize_and_remove_stopwords(
+                    tokenizer, get_node_content(node, embed_type), stopwords
+                )
+                for node in nodes
+            ]
+            dirs = [node.metadata.get("dir", "") for node in nodes]
+            self.index = build_sparse_index(
+                corpus_tokens,
+                bm25_type=bm25_type,
+                k1=self.k1,
+                b=self.b,
+                epsilon=self.epsilon,
+                dirs=dirs,
             )
-            for node in nodes
-        ]
-        dirs = [node.metadata.get("dir", "") for node in nodes]
-        self.index: SparseIndex = build_sparse_index(
-            corpus_tokens,
-            bm25_type=bm25_type,
-            k1=self.k1,
-            b=self.b,
-            epsilon=self.epsilon,
-            dirs=dirs,
-        )
         self._dir_col = (
             jnp.asarray(self.index.dir_ids) if self.index.dir_ids is not None else None
         )
+        # device-resident index: HBM postings, KB-sized queries (the default
+        # device path; the gather path remains as overflow fallback)
+        self._resident = None
+        if use_device and resident:
+            from .ops.bm25_resident import ResidentSparseIndex
+
+            self._resident = ResidentSparseIndex(
+                self.index, max_query_terms=max_query_terms
+            )
 
     # -- scoring -------------------------------------------------------------
 
@@ -116,25 +131,12 @@ class BM25Retriever:
 
     def retrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
         query = query_bundle.query_str
-        term_ids = self.index.query_term_ids(self._tokenize_query(query))
+        query_tokens = self._tokenize_query(query)
+        dir_f = self._dir_filter_value()
+        if dir_f == -2:
+            return []
         if self.use_device:
-            ids, vals = self.index.gather_postings(
-                term_ids, pad_to=self.max_query_postings, bucket=True
-            )
-            dir_f = self._dir_filter_value()
-            if dir_f == -2:
-                return []
-            top_vals, top_idx = bm25_score_topk(
-                jnp.asarray(ids),
-                jnp.asarray(vals),
-                self.index.num_docs,
-                self._similarity_top_k,
-                dir_col=self._dir_col,
-                dir_filter=jnp.int32(dir_f),
-                use_pallas=self.use_pallas,
-            )
-            top_vals = np.asarray(top_vals)
-            top_idx = np.asarray(top_idx)
+            top_vals, top_idx = self._device_topk(query_tokens, dir_f)
             out: List[NodeWithScore] = []
             for v, i in zip(top_vals, top_idx):
                 if not np.isfinite(v):
@@ -142,8 +144,36 @@ class BM25Retriever:
                 out.append(NodeWithScore(node=self._nodes[int(i)], score=float(v)))
             return out
         # host fallback: replicate reference filter() literally
-        scores = self.index.get_scores_host(self._tokenize_query(query))
-        return self._filter_host(scores)
+        return self._filter_host(self.index.get_scores_host(query_tokens))
+
+    def _device_topk(self, query_tokens, dir_f: int):
+        if self._resident is not None:
+            try:
+                ids, cnts = self._resident.query_terms(query_tokens)
+            except ValueError:
+                ids = None  # too many distinct terms: overflow to gather path
+            if ids is not None:
+                tv, ti = self._resident._score_topk(
+                    jnp.asarray(ids[None, :]),
+                    jnp.asarray(cnts[None, :]),
+                    self._similarity_top_k,
+                    jnp.asarray(np.array([dir_f], dtype=np.int32)),
+                )
+                return np.asarray(tv)[0], np.asarray(ti)[0]
+        term_ids = self.index.query_term_ids(query_tokens)
+        ids, vals = self.index.gather_postings(
+            term_ids, pad_to=self.max_query_postings, bucket=True
+        )
+        tv, ti = bm25_score_topk(
+            jnp.asarray(ids),
+            jnp.asarray(vals),
+            self.index.num_docs,
+            self._similarity_top_k,
+            dir_col=self._dir_col,
+            dir_filter=jnp.int32(dir_f),
+            use_pallas=self.use_pallas,
+        )
+        return np.asarray(tv), np.asarray(ti)
 
     def _filter_host(self, scores: np.ndarray) -> List[NodeWithScore]:
         order = scores.argsort(kind="stable")[::-1]

@@ -1,0 +1,77 @@
+"""Device-resident sparse index: exact parity with the host oracle, heavy/
+light split correctness, dir filter semantics."""
+
+import numpy as np
+import pytest
+
+from easyrag_tpu.index.sparse import build_sparse_index
+from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
+from oracles import synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # small light_cap forces several terms into the heavy matrix
+    corpus = synthetic_corpus(num_docs=150, vocab=60, seed=9)
+    dirs = [f"d{i % 3}" for i in range(len(corpus))]
+    index = build_sparse_index(corpus, bm25_type=0, dirs=dirs)
+    resident = ResidentSparseIndex(index, light_cap=32, max_query_terms=16)
+    return corpus, index, resident, dirs
+
+
+def test_heavy_light_split(setup):
+    _, index, resident, _ = setup
+    lens = np.diff(index.stats.term_offsets)
+    n_heavy = int((lens > 32).sum())
+    assert n_heavy > 0  # the fixture must actually exercise the matmul path
+    assert (np.asarray(resident.t_heavy_row) >= 0).sum() == n_heavy
+    # light lens zeroed exactly for heavy terms
+    light = np.asarray(resident.t_light_lens)[: resident.V]
+    assert ((light == 0) == (lens > 32)).all() or (light[lens > 32] == 0).all()
+
+
+def test_resident_matches_host_oracle(setup):
+    _, index, resident, _ = setup
+    queries = [
+        ["w3", "w14", "w15"],
+        ["w0"],
+        ["w9", "w9", "w9"],  # duplicates -> counts
+        ["w1", "unknown", "w2"],
+        [],
+    ]
+    k = 20
+    tv, ti = resident.score_topk(queries, k)
+    for row, q in enumerate(queries):
+        host = index.get_scores_host(q)
+        order = host.argsort(kind="stable")[::-1]
+        expected = [(int(i), host[i]) for i in order if host[i] > 0][:k]
+        got = [
+            (int(i), float(v)) for i, v in zip(ti[row], tv[row]) if np.isfinite(v)
+        ]
+        assert [i for i, _ in got] == [i for i, _ in expected], q
+        np.testing.assert_allclose(
+            [v for _, v in got], [v for _, v in expected], rtol=1e-5
+        )
+
+
+def test_resident_dir_filter(setup):
+    _, index, resident, dirs = setup
+    q = ["w3", "w14", "w15"]
+    tv, ti = resident.score_topk([q, q, q], 15, dir_values=["d1", None, "nodir"])
+    host = index.get_scores_host(q)
+    # row 0: only d1 docs
+    got0 = [int(i) for i, v in zip(ti[0], tv[0]) if np.isfinite(v)]
+    assert got0 and all(dirs[i] == "d1" for i in got0)
+    # row 1: unfiltered == host order
+    order = host.argsort(kind="stable")[::-1]
+    expected = [int(i) for i in order if host[i] > 0][:15]
+    got1 = [int(i) for i, v in zip(ti[1], tv[1]) if np.isfinite(v)]
+    assert got1 == expected
+    # row 2: unknown dir -> nothing
+    assert not np.isfinite(tv[2]).any()
+
+
+def test_query_terms_overflow_raises(setup):
+    _, _, resident, _ = setup
+    with pytest.raises(ValueError):
+        resident.query_terms([f"w{i}" for i in range(40)])
