@@ -126,7 +126,7 @@ def _gemma_segment(cfg, params, hidden, mask, start: int, end: int):
     cos, sin = rope_tables(position_ids, cfg.hd, cfg.rope_theta)
     bias = attention_bias_from_mask(mask)
     for idx in range(start, end):
-        hidden = decoder_layer(cfg, params["layers"][idx], hidden, bias, cos, sin)
+        hidden = decoder_layer(cfg, params["layers"][idx], hidden, bias, cos, sin, mask=mask)
     return hidden
 
 

@@ -48,6 +48,9 @@ class DecoderConfig:
     gemma: bool = False  # geglu activation + extra norms + emb scale sqrt(d)
     attn_logit_softcapping: float = 0.0
     query_pre_attn_scalar: float = 0.0
+    # use the Pallas flash-attention kernel (TPU only; requires seq % 128
+    # == 0 and no logit softcap — falls back to the einsum path otherwise)
+    use_flash: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -115,6 +118,7 @@ def attention(
     bias: jnp.ndarray,  # [B, 1, S, S]
     cos: jnp.ndarray,
     sin: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,  # [B, S] padding mask (flash path)
 ) -> jnp.ndarray:
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
@@ -130,6 +134,36 @@ def attention(
     scale = (
         cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar else hd ** -0.5
     )
+
+    flash_ok = (
+        cfg.use_flash
+        and mask is not None
+        and not cfg.attn_logit_softcapping
+        and s % 128 == 0
+        and hd % 128 == 0
+    )
+    if flash_ok:
+        # Pallas flash attention: the (S, S) scores tile never touches HBM.
+        # Padding rides the segment-id mask (pad tokens get id 0, real id 1,
+        # so neither side attends across); causality via the kernel's
+        # block-skipping mask.
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
+
+        seg = mask.astype(jnp.int32)
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            segment_ids=SegmentIds(seg, seg),
+            causal=True,
+            sm_scale=scale,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd).astype(x.dtype)
+        return _linear(out, params["o"])
+
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
@@ -155,10 +189,11 @@ def decoder_layer(
     bias: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     r = cfg.residual_scale
     h = rms_norm(x, params["input_norm"], cfg.rms_norm_eps, cfg.gemma)
-    h = attention(cfg, params["attn"], h, bias, cos, sin)
+    h = attention(cfg, params["attn"], h, bias, cos, sin, mask=mask)
     if cfg.gemma:
         h = rms_norm(h, params["post_attn_norm"], cfg.rms_norm_eps, cfg.gemma)
         x = x + h
@@ -210,7 +245,7 @@ def forward_hidden(
     for idx in range(n):
         if collect_norms_at and idx in collect_norms_at:
             collected.append(rms_norm(h, params["final_norm"], cfg.rms_norm_eps, cfg.gemma))
-        h = decoder_layer(cfg, params["layers"][idx], h, bias, cos, sin)
+        h = decoder_layer(cfg, params["layers"][idx], h, bias, cos, sin, mask=attention_mask)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps, cfg.gemma)
     if collect_norms_at is not None:
         if n in collect_norms_at:

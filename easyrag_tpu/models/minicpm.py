@@ -81,7 +81,10 @@ def _segment(
     cos, sin = rope_tables(position_ids, cfg.hd, cfg.rope_theta)
     bias = attention_bias_from_mask(attention_mask)
     for idx in range(start, end):
-        hidden = decoder_layer(cfg, params["layers"][idx], hidden, bias, cos, sin)
+        hidden = decoder_layer(
+            cfg, params["layers"][idx], hidden, bias, cos, sin,
+            mask=attention_mask,
+        )
     return hidden
 
 

@@ -36,10 +36,18 @@ def load_embedder(name: str, cache_folder: str = "", embed_type: int = 0):
     sentence-transformers-style contract (``pipeline.py:109-115``)."""
     model_dir = _require_local(name, "embedding model")
     if "gte" in name or "Zhihui" in name:
+        import dataclasses
+
+        import jax
+
         from .hf_loader import load_qwen2_embedder
         from .qwen2 import GTEEmbedder
 
         cfg, params = load_qwen2_embedder(model_dir)
+        # flash attention on TPU when the head dim tiles onto the lanes
+        # (gte-Qwen2-7B: head_dim 128); falls back to einsum otherwise
+        if jax.default_backend() != "cpu" and cfg.hd % 128 == 0:
+            cfg = dataclasses.replace(cfg, use_flash=True)
         return GTEEmbedder(
             cfg, params, _load_tokenizer(model_dir), embed_type=embed_type,
             embed_batch_size=128,
