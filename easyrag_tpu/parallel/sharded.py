@@ -101,8 +101,173 @@ class ShardedDenseIndex:
         return np.asarray(vals), np.asarray(idx)
 
 
+class ShardedResidentSparseIndex:
+    """Doc-range-sharded *device-resident* BM25 index.
+
+    The single-chip flagship design (``ops/bm25_resident.py``) sharded over
+    the mesh "data" axis: each shard holds its doc-range slice of the heavy
+    score matrix ``[H, N/D]`` and the light postings that fall in its range
+    (re-packed per shard so every term's in-range window stays bounded).
+    Queries are replicated (term ids + counts, KBs); each shard scores its
+    slice, takes a local top-k, and the candidates all-gather into a
+    replicated global top-k. Corpora beyond one chip's HBM scale linearly.
+    """
+
+    def __init__(self, mesh: Mesh, index, light_cap: int = 1024, max_query_terms: int = 64):
+        from ..ops.bm25_resident import ResidentSparseIndex
+
+        self.mesh = mesh
+        self.host_index = index
+        self.num_docs = index.num_docs
+        self.light_cap = light_cap
+        self.max_query_terms = max_query_terms
+        n_shards = mesh.shape["data"]
+        self.shard_size = (index.num_docs + n_shards - 1) // n_shards
+
+        offs = index.stats.term_offsets
+        lens = np.diff(offs).astype(np.int64)
+        V = len(lens)
+        self.V = V
+
+        # shard-local re-pack: postings split by doc range; per-shard CSR
+        docs = index.stats.post_docs
+        vals = index.post_vals.astype(np.float32)
+        terms = np.repeat(np.arange(V, dtype=np.int64), lens)
+        shard_of = docs // self.shard_size
+
+        # same criterion as single-chip: a term with global df <= light_cap
+        # can never exceed the per-shard window either
+        heavy_terms = np.where(lens > light_cap)[0]
+        is_heavy = np.zeros(V + 1, bool)
+        is_heavy[heavy_terms] = True
+        H = max(((len(heavy_terms) + 7) // 8) * 8, 8)
+        heavy_row = np.full(V + 1, -1, dtype=np.int32)
+        heavy_row[heavy_terms] = np.arange(len(heavy_terms))
+
+        pad_n = self.shard_size * n_shards
+        heavy_full = np.zeros((H, pad_n), dtype=np.float32)
+        for row, t in enumerate(heavy_terms):
+            lo, hi = offs[t], offs[t + 1]
+            heavy_full[row, docs[lo:hi]] = vals[lo:hi]
+
+        # per-shard light CSR (padded to the max shard postings count)
+        light_sel = ~is_heavy[terms]
+        starts_sh, lens_sh, docs_sh, vals_sh = [], [], [], []
+        max_p = 1
+        for sh in range(n_shards):
+            sel = light_sel & (shard_of == sh)
+            t_sh, d_sh, v_sh = terms[sel], docs[sel], vals[sel]
+            order = np.argsort(t_sh, kind="stable")
+            t_sh, d_sh, v_sh = t_sh[order], d_sh[order], v_sh[order]
+            cnt = np.bincount(t_sh, minlength=V).astype(np.int32)
+            st = np.zeros(V + 1, np.int32)
+            np.cumsum(cnt, out=st[1:V + 1])
+            starts_sh.append(st[:V + 1])
+            lens_full = np.zeros(V + 1, np.int32)
+            lens_full[:V] = cnt
+            lens_sh.append(lens_full)
+            docs_sh.append(d_sh.astype(np.int32))
+            vals_sh.append(v_sh)
+            max_p = max(max_p, len(d_sh))
+        docs_pad = np.full((n_shards, max_p + 1), index.num_docs, np.int32)
+        vals_pad = np.zeros((n_shards, max_p + 1), np.float32)
+        starts_arr = np.zeros((n_shards, V + 1), np.int32)
+        lens_arr = np.zeros((n_shards, V + 1), np.int32)
+        for sh in range(n_shards):
+            docs_pad[sh, : len(docs_sh[sh])] = docs_sh[sh]
+            vals_pad[sh, : len(vals_sh[sh])] = vals_sh[sh]
+            starts_arr[sh] = starts_sh[sh]
+            lens_arr[sh] = lens_sh[sh]
+        self.max_p = max_p
+
+        ds = NamedSharding(mesh, P("data", None))
+        self.heavy = jax.device_put(
+            jnp.asarray(heavy_full.reshape(H, n_shards, self.shard_size)
+                        .transpose(1, 0, 2).reshape(n_shards * H, self.shard_size)),
+            ds,
+        )  # [D*H, shard] sharded on axis 0 -> each device holds [H, shard]
+        self.H = H
+        self.t_heavy_row = jnp.asarray(heavy_row)
+        self.t_starts = jax.device_put(jnp.asarray(starts_arr), ds)
+        self.t_lens = jax.device_put(jnp.asarray(lens_arr), ds)
+        self.post_docs = jax.device_put(jnp.asarray(docs_pad), ds)
+        self.post_vals = jax.device_put(jnp.asarray(vals_pad), ds)
+
+    def query_terms(self, query_tokens):
+        from ..ops.bm25_resident import ResidentSparseIndex
+
+        return ResidentSparseIndex.query_terms(self, query_tokens)
+
+    @functools.partial(jax.jit, static_argnames=("self", "k"))
+    def _score_topk(self, term_ids, counts, k: int):
+        shard_size, num_docs = self.shard_size, self.num_docs
+        H, C, P_pad = self.H, self.light_cap, self.max_p
+
+        def shard_fn(heavy, starts, lens, pdocs, pvals, heavy_row, tids, cnts):
+            B, T = tids.shape
+            lo = jax.lax.axis_index("data") * shard_size
+            heavy = heavy.reshape(H, shard_size)
+            starts, lens = starts[0], lens[0]
+            pdocs, pvals = pdocs[0], pvals[0]
+
+            hrow = heavy_row[tids]
+            hrow_or_drop = jnp.where(hrow >= 0, hrow, H)
+            A = jnp.zeros((B, H), jnp.float32)
+            b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+            A = A.at[b_idx, hrow_or_drop].add(
+                jnp.where(hrow >= 0, cnts, 0.0), mode="drop"
+            )
+            scores = jax.lax.dot_general(
+                A, heavy, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [B, shard]
+
+            st = starts[tids]
+            ln = lens[tids]
+            win = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+            valid = win < ln[:, :, None]
+            pos = jnp.where(valid, st[:, :, None] + win, P_pad)
+            docs_local = pdocs[pos] - lo  # sentinel -> out of range
+            vals_g = pvals[pos] * cnts[:, :, None]
+            docs_local = jnp.where(
+                (docs_local >= 0) & (docs_local < shard_size), docs_local, shard_size
+            )
+            b3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, T, C))
+            scores = scores.at[b3.reshape(B, -1), docs_local.reshape(B, -1)].add(
+                jnp.where(valid, vals_g, 0.0).reshape(B, -1), mode="drop"
+            )
+
+            local_ids = lo + jax.lax.broadcasted_iota(jnp.int32, (1, shard_size), 1)
+            scores = jnp.where(local_ids < num_docs, scores, NEG_INF)
+            scores = jnp.where(scores > 0, scores, NEG_INF)
+            lv, li = topk_desc_reference_order(scores, min(k, shard_size))
+            return _merge_global_topk(lv, li + lo, "data", k)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(
+                P("data", None), P("data", None), P("data", None),
+                P("data", None), P("data", None), P(None),
+                P(None, None), P(None, None),
+            ),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )(
+            self.heavy, self.t_starts, self.t_lens, self.post_docs,
+            self.post_vals, self.t_heavy_row, term_ids, counts,
+        )
+
+    def score_topk(self, queries_tokens, k: int):
+        ids = np.stack([self.query_terms(q)[0] for q in queries_tokens])
+        cnts = np.stack([self.query_terms(q)[1] for q in queries_tokens])
+        tv, ti = self._score_topk(jnp.asarray(ids), jnp.asarray(cnts), k)
+        return np.asarray(tv), np.asarray(ti)
+
+
 class ShardedSparseScorer:
-    """Doc-range-sharded BM25 scoring.
+    """Doc-range-sharded BM25 scoring (gathered-postings form).
 
     The gathered postings buffer is replicated (it is small: ≤ a few 100KB
     per query batch); each shard scatter-adds only the postings whose doc id

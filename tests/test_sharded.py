@@ -46,6 +46,25 @@ def test_sharded_dense_matches_single_chip(mesh):
     np.testing.assert_array_equal(mi, np.asarray(si))
 
 
+def test_sharded_resident_matches_single_chip(mesh):
+    from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
+    from easyrag_tpu.parallel.sharded import ShardedResidentSparseIndex
+
+    corpus = synthetic_corpus(num_docs=137, vocab=80, seed=4)
+    index = build_sparse_index(corpus, bm25_type=0)
+    single = ResidentSparseIndex(index, light_cap=16, max_query_terms=16)
+    sharded = ShardedResidentSparseIndex(mesh, index, light_cap=16, max_query_terms=16)
+    queries = [["w3", "w14", "w15"], ["w0"], ["w9", "w9"], ["w1", "w2", "w5"], []]
+    k = 11
+    sv, si = single.score_topk(queries, k)
+    mv, mi = sharded.score_topk(queries, k)
+    for row in range(len(queries)):
+        finite = np.isfinite(sv[row])
+        np.testing.assert_allclose(mv[row][finite], sv[row][finite], rtol=1e-5)
+        np.testing.assert_array_equal(mi[row][finite], si[row][finite])
+        assert not np.isfinite(mv[row][~finite]).any()
+
+
 def test_sharded_sparse_matches_single_chip(mesh):
     corpus = synthetic_corpus(num_docs=97, vocab=120, seed=3)
     index = build_sparse_index(corpus, bm25_type=0)
