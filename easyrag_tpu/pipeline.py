@@ -39,7 +39,7 @@ from .templates import (
     QA_TEMPLATE,
     PromptTemplate,
 )
-from .utils.events import emit
+from .utils.events import emit, trace
 
 
 class EasyRAGPipeline:
@@ -341,14 +341,17 @@ class EasyRAGPipeline:
         """Default path (``pipeline.py:351-391``): sparse dual route ->
         fusion -> rerank -> QA generation -> optional answer refinement."""
         query_bundle = QueryBundle(query_str=query_str + hyde_query)
-        node_with_scores = await self.sparse_retriever.aretrieve(query_bundle)
-        if self.path_retriever is not None:
-            node_with_scores_path = await self.path_retriever.aretrieve(query_bundle)
-        else:
-            node_with_scores_path = []
-        node_with_scores = HybridRetriever.fusion(
-            [node_with_scores, node_with_scores_path]
-        )
+        with trace("retrieval"):
+            node_with_scores = await self.sparse_retriever.aretrieve(query_bundle)
+            if self.path_retriever is not None:
+                node_with_scores_path = await self.path_retriever.aretrieve(
+                    query_bundle
+                )
+            else:
+                node_with_scores_path = []
+            node_with_scores = HybridRetriever.fusion(
+                [node_with_scores, node_with_scores_path]
+            )
         if self.reranker:
             if self.hyde_merging and self.hyde:
                 seed = (
@@ -360,9 +363,10 @@ class EasyRAGPipeline:
                     query_str=query_str + "\n" + merged.custom_embedding_strs[0]
                 )
             emit("reranking", {"candidates": len(node_with_scores)})
-            node_with_scores = self.reranker.postprocess_nodes(
-                node_with_scores, query_bundle
-            )
+            with trace("rerank"):
+                node_with_scores = self.reranker.postprocess_nodes(
+                    node_with_scores, query_bundle
+                )
         contents = [self.get_node_content(node) for node in node_with_scores]
         context_str = "\n\n".join(
             f"### 文档{i}: {content}" for i, content in enumerate(contents)
@@ -370,7 +374,8 @@ class EasyRAGPipeline:
         if self.re_only:
             return {"answer": "", "nodes": node_with_scores, "contexts": contents}
         prompt = self.qa_template.format(context_str=context_str, query_str=query_str)
-        ret = await self.generation(self.llm, prompt)
+        with trace("generation"):
+            ret = await self.generation(self.llm, prompt)
         if self.ans_refine_type == 1:
             merge_prompt = self.merge_template.format(
                 context_str=contents[0], query_str=query_str, answer_str=ret.text
