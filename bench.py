@@ -135,33 +135,29 @@ def main() -> None:
                 batch = batch + batch[: BATCH - len(batch)]
             yield batch
 
-    # warmup/compile (one static shape)
-    jax.block_until_ready(
-        resident._score_topk(
-            *map(
-                lambda a: jax.numpy.asarray(np.stack(a)),
-                zip(*(resident.query_terms(q) for q in next(batches()))),
-            ),
-            TOPK,
-        )
-    )
+    import jax.numpy as jnp
 
-    # timed: host term lookup + tiny transfer + device matmul/gather/top-k;
-    # async dispatch, one sync at the end (throughput measurement)
-    t0 = time.perf_counter()
-    done = 0
-    outs = []
-    for batch in batches():
-        ids, cnts = zip(*(resident.query_terms(q) for q in batch))
-        outs.append(
-            resident._score_topk(
-                jax.numpy.asarray(np.stack(ids)),
-                jax.numpy.asarray(np.stack(cnts)),
-                TOPK,
+    def run_all():
+        """Dispatch every batch, then force completion with a 4-byte scalar
+        readback that depends on all outputs. NOTE: on this remote-attached
+        backend ``block_until_ready`` does NOT synchronize (measured) and
+        bulk downloads crawl, so a chained checksum is the only honest sync.
+        """
+        done = 0
+        checksum = jnp.int32(0)
+        for batch in batches():
+            ids, cnts = zip(*(resident.query_terms(q) for q in batch))
+            tv, ti = resident._score_topk(
+                jnp.asarray(np.stack(ids)), jnp.asarray(np.stack(cnts)), TOPK
             )
-        )
-        done += len(batch)
-    jax.block_until_ready(outs)
+            checksum = checksum + ti.sum()  # overflow harmless: barrier only
+            done += len(batch)
+        int(checksum)  # device->host scalar: full pipeline barrier
+        return done
+
+    run_all()  # warmup/compile
+    t0 = time.perf_counter()
+    done = run_all()
     ours_qps = done / (time.perf_counter() - t0)
 
     print(

@@ -30,10 +30,14 @@ def _load_tokenizer(model_dir: str):
     return AutoTokenizer.from_pretrained(model_dir, trust_remote_code=True)
 
 
-def load_embedder(name: str, cache_folder: str = "", embed_type: int = 0):
+def load_embedder(name: str, cache_folder: str = "", embed_type: int = 0, mesh=None):
     """Dense embedder by name. GTE/Zhihui names use the Qwen2 last-token-pool
     contract (``pipeline.py:100-108``); other names use a mean-pool
-    sentence-transformers-style contract (``pipeline.py:109-115``)."""
+    sentence-transformers-style contract (``pipeline.py:109-115``).
+
+    With a mesh carrying a >1 "model" axis, the decoder weights shard
+    tensor-parallel over it (the 7B embedder next to a large index is the
+    HBM-pressure case SURVEY.md §7 flags)."""
     model_dir = _require_local(name, "embedding model")
     if "gte" in name or "Zhihui" in name:
         import dataclasses
@@ -48,6 +52,10 @@ def load_embedder(name: str, cache_folder: str = "", embed_type: int = 0):
         # (gte-Qwen2-7B: head_dim 128); falls back to einsum otherwise
         if jax.default_backend() != "cpu" and cfg.hd % 128 == 0:
             cfg = dataclasses.replace(cfg, use_flash=True)
+        if mesh is not None and "model" in mesh.axis_names and mesh.shape["model"] > 1:
+            from ..parallel.tp import shard_decoder_params
+
+            params = shard_decoder_params(mesh, cfg, params, axis="model")
         return GTEEmbedder(
             cfg, params, _load_tokenizer(model_dir), embed_type=embed_type,
             embed_batch_size=128,

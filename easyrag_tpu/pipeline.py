@@ -90,6 +90,13 @@ class EasyRAGPipeline:
             else None
         )
 
+        # device mesh (degenerate 1-device mesh when unconfigured)
+        self.mesh = None
+        if cfg.tpu.mesh_shape:
+            from .parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(cfg.tpu.mesh_shape, cfg.tpu.mesh_axis_names)
+
         # embedding model (dense routes only)
         self.embed_model = embed_model
         if cfg.retrieval_type != 2 and self.embed_model is None:
@@ -99,6 +106,7 @@ class EasyRAGPipeline:
                 cfg.embedding_name,
                 cache_folder=cfg.hfmodel_cache_folder,
                 embed_type=cfg.f_embed_type_1,
+                mesh=self.mesh,
             )
 
         # corpus -> nodes, with artifact fast boot (the reference reuses a

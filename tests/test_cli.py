@@ -1,0 +1,127 @@
+"""Batch CLI end-to-end (subprocess, CPU, re_only) and embedder batching."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_cli_val_split_end_to_end(tmp_path):
+    corpus = tmp_path / "corpus"
+    (corpus / "director").mkdir(parents=True)
+    (corpus / "umac").mkdir()
+    (corpus / "director" / "a.txt").write_text(
+        "扩容指南\nCDU虚机每次扩容的最大SC个数为15。\n", encoding="utf-8"
+    )
+    (corpus / "director" / "b.txt").write_text(
+        "备份说明\n系统支持全量备份和增量备份。\n", encoding="utf-8"
+    )
+    (corpus / "umac" / "c.txt").write_text(
+        "鉴权配置\n鉴权失败时检查LDAP连接。\n", encoding="utf-8"
+    )
+    (corpus / "pathmap.json").write_text(
+        json.dumps(
+            {
+                "director/a.txt": ["运维", "扩容"],
+                "director/b.txt": ["运维", "备份"],
+                "umac/c.txt": ["安全", "鉴权"],
+            }
+        ),
+        encoding="utf-8",
+    )
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        f"""
+re_only: true
+retrieval_type: 2
+use_reranker: 0
+chunk_size: 64
+chunk_overlap: 10
+f_topk_2: 4
+f_topk_3: 1
+data_path: {corpus}
+tpu:
+  use_pallas: false
+""",
+        encoding="utf-8",
+    )
+    qa_dir = tmp_path / "qa"
+    qa_dir.mkdir()
+    (qa_dir / "val.json").write_text(
+        json.dumps(
+            [
+                {"id": 1, "query": "CDU扩容的最大SC个数？", "answer": "15",
+                 "keywords": ["15"], "document": ""},
+            ],
+            ensure_ascii=False,
+        ),
+        encoding="utf-8",
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "easyrag_tpu.cli",
+            "--config", str(cfg), "--split", "val", "--re-only",
+            "--note", "t", "--qa-dir", str(qa_dir),
+        ],
+        cwd=str(tmp_path),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "average acc" in out.stdout
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "outputs" / "submit_result_val_t.jsonl", encoding="utf-8")
+    ]
+    assert rows[0]["id"] == 1 and rows[0]["answer"] == ""
+    inter = json.load(open(tmp_path / "inter" / "val_t.json", encoding="utf-8"))
+    assert inter[0]["candidates"] and "CDU" in inter[0]["candidates"][0]
+    assert inter[0]["paths"][0] == "director/a.txt"
+
+
+def test_embedder_bucketing_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from easyrag_tpu.models.layers import DecoderConfig, init_params
+    from easyrag_tpu.models.qwen2 import GTEEmbedder
+
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        attention_bias=True, dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.key(0))
+
+    class FakeTok:
+        def __call__(self, texts, max_length=None, padding=True, truncation=True,
+                     return_tensors=None):
+            rows = [[(hash(c) % 60) + 2 for c in t][:max_length] for t in texts]
+            width = max(len(r) for r in rows)
+            ids = np.zeros((len(rows), width), np.int32)
+            mask = np.zeros((len(rows), width), np.int32)
+            for i, r in enumerate(rows):
+                ids[i, : len(r)] = r
+                mask[i, : len(r)] = 1
+            return {"input_ids": ids, "attention_mask": mask}
+
+    emb = GTEEmbedder(cfg, params, FakeTok(), max_length=512, embed_batch_size=8,
+                      batch_buckets=(1, 4, 8))
+    out = emb.get_text_embeddings(["短", "长一点的文本内容", "abc", "x" * 100, "y"])
+    assert out.shape == (5, 16)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+    # query embedding uses the instruct prefix -> differs from text embedding
+    q = emb.get_query_embedding("相同文本")
+    t = emb.get_text_embedding("相同文本")
+    assert not np.allclose(q, t)
+    # deterministic
+    np.testing.assert_allclose(emb.get_text_embedding("abc"), out[2], rtol=1e-5)

@@ -28,6 +28,32 @@ def test_make_mesh_shapes():
         data_model_mesh(8, model_parallel=3)
 
 
+def test_tp_embedder_matches_unsharded(mesh):
+    """TP-sharded embedder params produce the same embeddings."""
+    import jax.numpy as jnp
+
+    from easyrag_tpu.models.layers import DecoderConfig, init_params
+    from easyrag_tpu.models.qwen2 import embed_step
+    from easyrag_tpu.parallel.mesh import data_model_mesh
+    from easyrag_tpu.parallel.tp import shard_decoder_params
+
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        attention_bias=True, dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.key(0))
+    ids = jnp.asarray(np.arange(3 * 12).reshape(3, 12) % 64, jnp.int32)
+    mask = jnp.ones((3, 12), jnp.int32)
+    ref = np.asarray(embed_step(cfg, params, ids, mask))
+
+    m = data_model_mesh(8, model_parallel=2)
+    sharded = shard_decoder_params(m, cfg, params, axis="model")
+    with m:
+        got = np.asarray(embed_step(cfg, sharded, ids, mask))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_dense_matches_single_chip(mesh):
     rng = np.random.default_rng(0)
     n, d, b, k = 203, 64, 4, 17  # deliberately not divisible by 8
