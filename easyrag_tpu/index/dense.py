@@ -9,11 +9,14 @@ followed by top-k. Cosine distance == dot product because both sides are
 normalized at build time, matching qdrant's COSINE behavior (qdrant
 normalizes vectors on upsert).
 
-Bandwidth note: materializing ``[B, N]`` f32 scores is negligible next to
-streaming the ``[N, D]`` matrix (D=3584 ≫ 1), so the XLA matmul+top_k is
-already within a few % of speed-of-light here; a Pallas fusion only pays off
-when D is small or N is huge. Measured on hardware before optimizing
-further (see bench.py).
+Kernel-choice note (benchmarked, see BASELINE.md): the fused-by-XLA
+matmul+top_k path is the deliberate design. Materializing ``[B, N]`` f32
+scores is negligible next to streaming the ``[N, D]`` matrix (D=3584 ≫ 1),
+and a hand-written Pallas fusion is not currently expressible anyway —
+``lax.top_k`` has no Mosaic lowering (verified: ``NotImplementedError:
+Unimplemented primitive ... top_k``), and an exact in-kernel selection
+needs per-tile capacity ≥ k (= 288 iterative max passes). The Pallas
+budget goes where it pays: the BM25 scatter kernel and flash attention.
 
 Metadata filtering replicates the qdrant ``dir`` must-match filter
 (``ingestion.py:207-216``) as a score mask before top-k.
