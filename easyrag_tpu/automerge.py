@@ -11,7 +11,7 @@ hierarchy from ``src/easyrag/custom/hierarchical.py``.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from .schema import NodeRelationship, NodeWithScore, QueryBundle, TextNode
 

@@ -21,7 +21,7 @@ is a single fused-by-XLA einsum chain with a combined causal+padding bias.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

@@ -32,7 +32,7 @@ once; the compute saved on exit matches the reference exactly
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

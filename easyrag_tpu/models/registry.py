@@ -10,7 +10,6 @@ clear instruction instead of attempting a download.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 
 def _require_local(name: str, kind: str) -> str:

@@ -18,7 +18,7 @@ runs with no model weights and no network.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 from .compressors import ContextCompressor
 from .config import EasyRAGConfig
@@ -31,7 +31,7 @@ from .corpus.views import get_node_content
 from .generation import CompletionResponse, HyDETransform, OpenAICompatLLM, generation
 from .index.artifact import CorpusArtifact
 from .retrievers import BM25Retriever, DenseRetriever, HybridRetriever
-from .schema import NodeWithScore, QueryBundle, build_nodeid2idx
+from .schema import QueryBundle, build_nodeid2idx
 from .templates import (
     HYDE_PROMPT_MODIFIED_MERGING,
     HYDE_PROMPT_MODIFIED_V2,
