@@ -40,8 +40,15 @@ async def run_batch(args: argparse.Namespace) -> None:
 
     print("开始生成答案...")
     answers, all_nodes, all_contexts = [], [], []
-    for query in queries:
-        res = await pipeline.run(dict(query))
+    if args.re_only:
+        # retrieval-only runs score whole query batches in one device call
+        bs = max(config.tpu.query_batch, 1)
+        results = []
+        for lo in range(0, len(queries), bs):
+            results.extend(await pipeline.run_retrieval_batch(queries[lo : lo + bs]))
+    else:
+        results = [await pipeline.run(dict(query)) for query in queries]
+    for res in results:
         answers.append(res["answer"])
         all_nodes.append(res["nodes"])
         all_contexts.append(res["contexts"])

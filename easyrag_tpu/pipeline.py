@@ -343,6 +343,37 @@ class EasyRAGPipeline:
         self.sparse_retriever.filter_dict = self.filter_dict
         return await self.generation_with_rerank_fusion(query_str=query["query"])
 
+    async def run_retrieval_batch(
+        self, queries: list[Dict[str, Any]]
+    ) -> list[Dict[str, Any]]:
+        """Batched retrieval-only slice: one device call scores every query
+        of the batch on the resident sparse index (per-row dir filters).
+        Equivalent to per-query ``run`` with ``re_only`` on the default
+        (``rerank_fusion_type=0``, no reranker) path; falls back to the
+        per-query loop otherwise."""
+        batchable = (
+            self.rerank_fusion_type == 0
+            and self.reranker is None
+            and not self.hyde
+            and isinstance(self.sparse_retriever, BM25Retriever)
+        )
+        if not batchable:
+            return [await self.run(dict(q)) for q in queries]
+        bundles = [QueryBundle(query_str=q["query"]) for q in queries]
+        filter_dicts = [self.build_filters(q)[1] for q in queries]
+        with trace("retrieval_batch"):
+            content_lists = self.sparse_retriever.retrieve_batch(bundles, filter_dicts)
+            if self.path_retriever is not None:
+                path_lists = self.path_retriever.retrieve_batch(bundles)
+            else:
+                path_lists = [[] for _ in queries]
+        out = []
+        for content_nodes, path_nodes in zip(content_lists, path_lists):
+            fused = HybridRetriever.fusion([content_nodes, path_nodes])
+            contents = [self.get_node_content(n) for n in fused]
+            out.append({"answer": "", "nodes": fused, "contexts": contents})
+        return out
+
     async def generation_with_knowledge_retrieval(
         self, query_str: str, hyde_query: str = ""
     ) -> Dict[str, Any]:

@@ -21,7 +21,7 @@ static-shape batches (offline eval) without changing results.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence  # noqa: F401 (Sequence used in batch API)
 
 import jax.numpy as jnp
 import numpy as np
@@ -194,6 +194,63 @@ class BM25Retriever:
 
     async def aretrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
         return self.retrieve(query_bundle)
+
+    def retrieve_batch(
+        self,
+        query_bundles: Sequence[QueryBundle],
+        filter_dicts: Optional[Sequence[Optional[Dict[str, str]]]] = None,
+    ) -> List[List[NodeWithScore]]:
+        """Batched retrieval over the device-resident index: one device call
+        scores every query (per-row dir filters ride along). Results are
+        identical to per-query :meth:`retrieve`. Queries that overflow the
+        term budget fall back to the per-query path."""
+        if self._resident is None:
+            saved = self.filter_dict
+            out = []
+            for i, qb in enumerate(query_bundles):
+                self.filter_dict = filter_dicts[i] if filter_dicts else None
+                out.append(self.retrieve(qb))
+            self.filter_dict = saved
+            return out
+        tokens = [self._tokenize_query(qb.query_str) for qb in query_bundles]
+        rows, overflow = [], {}
+        for i, toks in enumerate(tokens):
+            try:
+                rows.append(self._resident.query_terms(toks))
+            except ValueError:
+                rows.append(None)
+                overflow[i] = toks
+        dir_fs = []
+        for i in range(len(query_bundles)):
+            fd = filter_dicts[i] if filter_dicts else None
+            if fd is None or fd.get("dir") is None:
+                dir_fs.append(-1)
+            else:
+                dir_fs.append(self.index.dir_vocab.get(fd["dir"], -2))
+        valid = [i for i, r in enumerate(rows) if r is not None]
+        results: List[List[NodeWithScore]] = [[] for _ in query_bundles]
+        if valid:
+            ids = np.stack([rows[i][0] for i in valid])
+            cnts = np.stack([rows[i][1] for i in valid])
+            dirs = np.asarray([dir_fs[i] for i in valid], dtype=np.int32)
+            tv, ti = self._resident._score_topk(
+                jnp.asarray(ids), jnp.asarray(cnts), self._similarity_top_k,
+                jnp.asarray(dirs),
+            )
+            tv, ti = np.asarray(tv), np.asarray(ti)
+            for row, i in enumerate(valid):
+                out: List[NodeWithScore] = []
+                for v, j in zip(tv[row], ti[row]):
+                    if not np.isfinite(v):
+                        break
+                    out.append(NodeWithScore(node=self._nodes[int(j)], score=float(v)))
+                results[i] = out
+        saved = self.filter_dict
+        for i in overflow:
+            self.filter_dict = filter_dicts[i] if filter_dicts else None
+            results[i] = self.retrieve(query_bundles[i])
+        self.filter_dict = saved
+        return results
 
 
 class DenseRetriever:

@@ -174,3 +174,26 @@ def test_templates_format():
 
     out = PromptTemplate(QA_TEMPLATE).format(context_str="CTX", query_str="Q")
     assert "CTX" in out and "Q" in out
+
+
+def test_templates_byte_parity_checksums():
+    """Prompt strings were verified byte-identical to the reference's
+    template.py during the build; these checksums pin them against drift."""
+    import hashlib
+
+    import easyrag_tpu.templates as t
+
+    expected = {
+        "QA_TEMPLATE": "d19bf5b6",
+        "MERGE_TEMPLATE": "96ca26f1",
+        "SUMMARY_EXTRACT_TEMPLATE": "7543e279",
+        "HYDE_PROMPT_ORIGIN": "b2febd69",
+        "HYDE_PROMPT_MODIFIED_V1": "d5e98222",
+        "HYDE_PROMPT_MODIFIED_V2": "347f8858",
+        "HYDE_PROMPT_MODIFIED_MERGING": "a6fae441",
+    }
+    got = {
+        name: hashlib.sha256(getattr(t, name).encode("utf-8")).hexdigest()[:8]
+        for name in expected
+    }
+    assert got == expected

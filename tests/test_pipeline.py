@@ -237,6 +237,28 @@ def test_ans_refine_and_generation_paths(tmp_path):
     assert "CDU" in res["answer"]
 
 
+def test_retrieval_batch_matches_per_query(tmp_path):
+    # enable the resident device path so the batch call exercises it
+    cfg = _config(tmp_path)
+    cfg.tpu.use_pallas = False
+    pipeline = EasyRAGPipeline(cfg)
+    queries = [
+        {"query": "CDU虚机扩容的最大SC个数是多少？"},
+        {"query": "鉴权失败如何处理？", "document": "umac"},
+        {"query": "备份"},
+        {"query": "完全无关的查询词组xyzq"},
+    ]
+    batched = asyncio.get_event_loop().run_until_complete(
+        pipeline.run_retrieval_batch([dict(q) for q in queries])
+    )
+    singles = [_run(pipeline, dict(q)) for q in queries]
+    for b, s in zip(batched, singles):
+        assert b["contexts"] == s["contexts"]
+        assert [round(n.score or 0, 6) for n in b["nodes"]] == [
+            round(n.score or 0, 6) for n in s["nodes"]
+        ]
+
+
 def test_api_contract(tmp_path):
     from aiohttp.test_utils import TestClient, TestServer
 
