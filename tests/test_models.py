@@ -215,6 +215,42 @@ def test_early_exit_protocol():
     assert layer3 == 3
 
 
+def test_yes_logit_scorer():
+    import jax
+
+    from easyrag_tpu.models.layers import init_params
+    from easyrag_tpu.models.yes_logit import YesLogitScorer
+
+    _, cfg, _ = _tiny_qwen2()
+    params = init_params(cfg, jax.random.key(2))
+    params["lm_head"] = jax.random.normal(jax.random.key(3), (128, 32))
+
+    class FakeTok:
+        bos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=False, max_length=None, truncation=False):
+            ids = [(hash(ch) % 120) + 2 for ch in text]
+            if max_length is not None and truncation:
+                ids = ids[:max_length]
+            return {"input_ids": ids}
+
+    scorer = YesLogitScorer(cfg, params, FakeTok(), max_length=64)
+    pairs = [("q1", "passage one"), ("q2", "other")]
+    scores, _ = scorer.score_pairs(pairs)
+    assert scores.shape == (2,) and np.isfinite(scores).all()
+    assert scores[0] != scores[1]
+    # manual recomputation: yes-token logit at the last (real) position
+    from easyrag_tpu.models.minicpm import MiniCPMLayerWiseReranker
+
+    ids, mask = MiniCPMLayerWiseReranker.build_inputs(scorer._builder, pairs)
+    import jax.numpy as jnp
+
+    h = np.asarray(forward_hidden(cfg, params, jnp.asarray(ids), jnp.asarray(mask)))
+    manual = h[:, -1, :] @ np.asarray(scorer.yes_row)
+    np.testing.assert_allclose(scores, manual, rtol=1e-4)
+
+
 def test_llm_rerank_wrapper_semantics():
     from easyrag_tpu.rerankers import LLMRerank
     from easyrag_tpu.schema import NodeWithScore, QueryBundle, TextNode
