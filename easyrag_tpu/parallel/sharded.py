@@ -53,7 +53,10 @@ def _merge_global_topk(local_vals, local_idx, axis: str, k: int):
 class ShardedDenseIndex:
     """Row-sharded HBM cosine index over a mesh "data" axis."""
 
-    def __init__(self, mesh: Mesh, matrix: np.ndarray, dtype=jnp.bfloat16) -> None:
+    def __init__(
+        self, mesh: Mesh, matrix: np.ndarray, dtype=jnp.bfloat16,
+        dir_ids: np.ndarray = None,
+    ) -> None:
         self.mesh = mesh
         n_shards = mesh.shape["data"]
         n, d = matrix.shape
@@ -64,14 +67,26 @@ class ShardedDenseIndex:
         sharding = NamedSharding(mesh, P("data", None))
         self.matrix = jax.device_put(jnp.asarray(padded, dtype=dtype), sharding)
         self.shard_size = self.pad_n // n_shards
+        # optional metadata column for the `dir` equality filter, row-sharded
+        self.dir_col = None
+        if dir_ids is not None:
+            dirs_pad = np.full((self.pad_n,), -3, np.int32)  # pad rows match nothing
+            dirs_pad[:n] = dir_ids
+            self.dir_col = jax.device_put(
+                jnp.asarray(dirs_pad.reshape(n_shards, self.shard_size)),
+                NamedSharding(mesh, P("data", None)),
+            )
 
     @functools.partial(jax.jit, static_argnames=("self", "k"))
-    def _query(self, q: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _query(
+        self, q: jnp.ndarray, k: int, dir_filter: jnp.ndarray = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         mesh = self.mesh
         shard_size = self.shard_size
         num_docs = self.num_docs
+        with_filter = self.dir_col is not None and dir_filter is not None
 
-        def shard_fn(matrix_local, q_rep):
+        def shard_fn(matrix_local, q_rep, *rest):
             lo = jax.lax.axis_index("data") * shard_size
             scores = jax.lax.dot_general(
                 q_rep.astype(matrix_local.dtype),
@@ -84,20 +99,34 @@ class ShardedDenseIndex:
                 jnp.int32, (1, shard_size), 1
             )
             scores = jnp.where(local_ids < num_docs, scores, NEG_INF)
+            if with_filter:
+                dir_local, dir_f = rest
+                keep = jnp.logical_or(
+                    dir_f[:, None] == -1, dir_local[0][None, :] == dir_f[:, None]
+                )
+                scores = jnp.where(keep, scores, NEG_INF)
             lv, li = topk_desc_reference_order(scores, min(k, shard_size))
             return _merge_global_topk(lv, li + lo, "data", k)
 
+        in_specs = [P("data", None), P(None, None)]
+        args = [self.matrix, q]
+        if with_filter:
+            in_specs += [P("data", None), P(None)]
+            args += [self.dir_col, dir_filter]
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P("data", None), P(None, None)),
+            in_specs=tuple(in_specs),
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
-        )(self.matrix, q)
+        )(*args)
 
-    def query(self, q: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    def query(
+        self, q: np.ndarray, k: int, dir_filter: np.ndarray = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
         q = np.atleast_2d(np.asarray(q, dtype=np.float32))
-        vals, idx = self._query(jnp.asarray(q), k)
+        dir_f = jnp.asarray(dir_filter) if dir_filter is not None else None
+        vals, idx = self._query(jnp.asarray(q), k, dir_f)
         return np.asarray(vals), np.asarray(idx)
 
 
@@ -118,6 +147,7 @@ class ShardedResidentSparseIndex:
 
         self.mesh = mesh
         self.host_index = index
+        self.dir_vocab = index.dir_vocab
         self.num_docs = index.num_docs
         self.light_cap = light_cap
         self.max_query_terms = max_query_terms
@@ -180,6 +210,16 @@ class ShardedResidentSparseIndex:
             lens_arr[sh] = lens_sh[sh]
         self.max_p = max_p
 
+        # dir metadata column, row-sharded (pad rows match nothing)
+        self.dir_col = None
+        if index.dir_ids is not None:
+            dirs_pad = np.full((pad_n,), -3, np.int32)
+            dirs_pad[: index.num_docs] = index.dir_ids
+            self.dir_col = jax.device_put(
+                jnp.asarray(dirs_pad.reshape(n_shards, self.shard_size)),
+                NamedSharding(mesh, P("data", None)),
+            )
+
         ds = NamedSharding(mesh, P("data", None))
         self.heavy = jax.device_put(
             jnp.asarray(heavy_full.reshape(H, n_shards, self.shard_size)
@@ -199,11 +239,12 @@ class ShardedResidentSparseIndex:
         return ResidentSparseIndex.query_terms(self, query_tokens)
 
     @functools.partial(jax.jit, static_argnames=("self", "k"))
-    def _score_topk(self, term_ids, counts, k: int):
+    def _score_topk(self, term_ids, counts, k: int, dir_filter=None):
         shard_size, num_docs = self.shard_size, self.num_docs
         H, C, P_pad = self.H, self.light_cap, self.max_p
+        with_filter = self.dir_col is not None and dir_filter is not None
 
-        def shard_fn(heavy, starts, lens, pdocs, pvals, heavy_row, tids, cnts):
+        def shard_fn(heavy, starts, lens, pdocs, pvals, heavy_row, tids, cnts, *rest):
             B, T = tids.shape
             lo = jax.lax.axis_index("data") * shard_size
             heavy = heavy.reshape(H, shard_size)
@@ -240,29 +281,48 @@ class ShardedResidentSparseIndex:
 
             local_ids = lo + jax.lax.broadcasted_iota(jnp.int32, (1, shard_size), 1)
             scores = jnp.where(local_ids < num_docs, scores, NEG_INF)
+            if with_filter:
+                dir_local, dir_f = rest
+                keep = jnp.logical_or(
+                    dir_f[:, None] == -1, dir_local[0][None, :] == dir_f[:, None]
+                )
+                scores = jnp.where(keep, scores, NEG_INF)
             scores = jnp.where(scores > 0, scores, NEG_INF)
             lv, li = topk_desc_reference_order(scores, min(k, shard_size))
             return _merge_global_topk(lv, li + lo, "data", k)
 
+        in_specs = [
+            P("data", None), P("data", None), P("data", None),
+            P("data", None), P("data", None), P(None),
+            P(None, None), P(None, None),
+        ]
+        args = [
+            self.heavy, self.t_starts, self.t_lens, self.post_docs,
+            self.post_vals, self.t_heavy_row, term_ids, counts,
+        ]
+        if with_filter:
+            in_specs += [P("data", None), P(None)]
+            args += [self.dir_col, dir_filter]
         return jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(
-                P("data", None), P("data", None), P("data", None),
-                P("data", None), P("data", None), P(None),
-                P(None, None), P(None, None),
-            ),
+            in_specs=tuple(in_specs),
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
-        )(
-            self.heavy, self.t_starts, self.t_lens, self.post_docs,
-            self.post_vals, self.t_heavy_row, term_ids, counts,
-        )
+        )(*args)
 
-    def score_topk(self, queries_tokens, k: int):
+    def score_topk(self, queries_tokens, k: int, dir_values=None):
         ids = np.stack([self.query_terms(q)[0] for q in queries_tokens])
         cnts = np.stack([self.query_terms(q)[1] for q in queries_tokens])
-        tv, ti = self._score_topk(jnp.asarray(ids), jnp.asarray(cnts), k)
+        dir_f = None
+        if dir_values is not None and self.dir_col is not None:
+            dir_f = jnp.asarray(
+                np.array(
+                    [self.dir_vocab.get(d, -2) if d else -1 for d in dir_values],
+                    dtype=np.int32,
+                )
+            )
+        tv, ti = self._score_topk(jnp.asarray(ids), jnp.asarray(cnts), k, dir_f)
         return np.asarray(tv), np.asarray(ti)
 
 

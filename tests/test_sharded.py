@@ -91,6 +91,47 @@ def test_sharded_resident_matches_single_chip(mesh):
         assert not np.isfinite(mv[row][~finite]).any()
 
 
+def test_sharded_dir_filters_match_single_chip(mesh):
+    from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
+    from easyrag_tpu.parallel.sharded import (
+        ShardedDenseIndex,
+        ShardedResidentSparseIndex,
+    )
+
+    rng = np.random.default_rng(5)
+    corpus = synthetic_corpus(num_docs=101, vocab=70, seed=6)
+    dirs = [f"d{i % 3}" for i in range(len(corpus))]
+    index = build_sparse_index(corpus, bm25_type=0, dirs=dirs)
+    single = ResidentSparseIndex(index, light_cap=16, max_query_terms=16)
+    sharded = ShardedResidentSparseIndex(mesh, index, light_cap=16, max_query_terms=16)
+    queries = [["w3", "w14"], ["w1", "w2"], ["w0"]]
+    dvals = ["d1", None, "zzz"]
+    sv, si = single.score_topk(queries, 9, dir_values=dvals)
+    mv, mi = sharded.score_topk(queries, 9, dir_values=dvals)
+    for row in range(len(queries)):
+        finite = np.isfinite(sv[row])
+        np.testing.assert_allclose(mv[row][finite], sv[row][finite], rtol=1e-5)
+        np.testing.assert_array_equal(mi[row][finite], si[row][finite])
+        assert not np.isfinite(mv[row][~finite]).any()
+
+    # dense: filtered sharded == filtered single-chip
+    from easyrag_tpu.index.dense import dense_score_topk, l2_normalize
+
+    n, d = 101, 32
+    matrix = l2_normalize(rng.normal(size=(n, d)).astype(np.float32))
+    q = l2_normalize(rng.normal(size=(2, d)).astype(np.float32))
+    dir_ids = np.array([i % 3 for i in range(n)], np.int32)
+    sd = ShardedDenseIndex(mesh, matrix, dtype=jnp.float32, dir_ids=dir_ids)
+    dir_f = np.array([1, -1], np.int32)
+    mv2, mi2 = sd.query(q, 7, dir_filter=dir_f)
+    sv2, si2 = dense_score_topk(
+        jnp.asarray(q), jnp.asarray(matrix), 7,
+        dir_col=jnp.asarray(dir_ids), dir_filter=jnp.asarray(dir_f),
+    )
+    np.testing.assert_allclose(mv2, np.asarray(sv2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(mi2, np.asarray(si2))
+
+
 def test_sharded_sparse_matches_single_chip(mesh):
     corpus = synthetic_corpus(num_docs=97, vocab=120, seed=3)
     index = build_sparse_index(corpus, bm25_type=0)
