@@ -190,7 +190,9 @@ class GemmaCostWiseReranker:
             rows.append(first + second + sep_ids + prompt_ids)
             qlens.append(len(first) + len(sep_ids))
             plens.append(len(sep_ids + prompt_ids))
-        max_len = ((max(len(r) for r in rows) + 7) // 8) * 8
+        # bucket to multiples of 128 for a bounded compile-cache (right
+        # padding; mask-based last_logit_pool ignores the extra tail)
+        max_len = max(((max(len(r) for r in rows) + 127) // 128) * 128, 128)
         pad_id = tk.pad_token_id if tk.pad_token_id is not None else 0
         ids = np.full((len(rows), max_len), pad_id, dtype=np.int32)
         mask = np.zeros((len(rows), max_len), dtype=np.int32)

@@ -177,7 +177,11 @@ class MiniCPMLayerWiseReranker:
             second = second[: max(room, 0)]
             rows.append(first + second + sep_ids + prompt_ids)
         max_len = max(len(r) for r in rows)
-        max_len = ((max_len + 7) // 8) * 8  # pad_to_multiple_of=8
+        # the reference pads to a multiple of 8 (rerankers.py:290); we pad to
+        # a multiple of 128 so sequence lengths fall into a bounded set of
+        # compile buckets (extra padding is masked out and, with left
+        # padding, the scored last position stays real)
+        max_len = max(((max_len + 127) // 128) * 128, 128)
         pad_id = tk.pad_token_id if tk.pad_token_id is not None else 0
         ids = np.full((len(rows), max_len), pad_id, dtype=np.int32)
         mask = np.zeros((len(rows), max_len), dtype=np.int32)

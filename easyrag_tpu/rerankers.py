@@ -63,14 +63,22 @@ class LLMRerank:
             pairs = [
                 (query, get_node_content(node.node, self.embed_type)) for node in cur
             ]
+            n_real = len(pairs)
             judge = self.use_efficient != 0 and (
                 lo == 0 or self.use_efficient == 2
             )
+            # pad tail batches to the full batch size (duplicate last pair,
+            # scores sliced off) so every batch hits the same compiled shape.
+            # Judge batches stay unpadded: the early-exit criterion softmaxes
+            # over the batch's scores and duplicates would perturb it.
+            if n_real < bsz and not judge:
+                pairs = pairs + [pairs[-1]] * (bsz - n_real)
             emit(
                 "reranking",
-                {"batch": lo // bsz, "pairs": len(pairs), "judge": judge},
+                {"batch": lo // bsz, "pairs": n_real, "judge": judge},
             )
             scores, layer_used = self.scorer.score_pairs(pairs, judge=judge)
+            scores = scores[:n_real]
             if lo == 0 and self.use_efficient == 1:
                 # reuse the discovered exit layer for the remaining batches
                 self.scorer.cutoff_layer = layer_used

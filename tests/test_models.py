@@ -273,8 +273,9 @@ def test_llm_rerank_wrapper_semantics():
         for n in (1, 5, 3, 2, 4)
     ]
     out = rr.postprocess_nodes(nodes, QueryBundle(query_str="q"))
-    # batches of 2: first batch judged, later not
-    assert scorer.calls == [(2, True), (2, False), (1, False)]
+    # batches of 2: first batch judged; the tail batch is padded to the full
+    # batch size (static compile shape) with the pad score sliced off
+    assert scorer.calls == [(2, True), (2, False), (2, False)]
     # reranked by passage length desc, top 2
     assert [len(n.node.text) for n in out] == [5, 4]
     # retrieval scores preserved in metadata
