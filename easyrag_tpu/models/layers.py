@@ -135,12 +135,19 @@ def attention(
         cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar else hd ** -0.5
     )
 
+    # flash applicability (all measured, see BASELINE.md): head_dim 128
+    # models run well at default block sizes from seq 128; head_dim 64
+    # models need 512-blocks and seq % 512 (smaller blocks pad the 64-wide
+    # heads badly — default blocks measured 17x SLOWER than einsum, tuned
+    # 512-blocks ~1.9x faster)
     flash_ok = (
         cfg.use_flash
         and mask is not None
         and not cfg.attn_logit_softcapping
-        and s % 128 == 0
-        and hd % 128 == 0
+        and (
+            (hd % 128 == 0 and s % 128 == 0)
+            or (hd % 64 == 0 and s % 512 == 0)
+        )
     )
     if flash_ok:
         # Pallas flash attention: the (S, S) scores tile never touches HBM.
@@ -148,10 +155,20 @@ def attention(
         # so neither side attends across); causality via the kernel's
         # block-skipping mask.
         from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
             SegmentIds,
             flash_attention,
         )
 
+        block_sizes = None
+        if hd % 128 != 0:  # head_dim 64 family: force 512 blocks
+            blk = 512
+            block_sizes = BlockSizes(
+                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+                block_q_major_dkv=blk, block_k_major_dkv=blk,
+                block_k_dkv=blk, block_q_dkv=blk,
+                block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+            )
         seg = mask.astype(jnp.int32)
         out = flash_attention(
             q.transpose(0, 2, 1, 3),
@@ -160,6 +177,7 @@ def attention(
             segment_ids=SegmentIds(seg, seg),
             causal=True,
             sm_scale=scale,
+            block_sizes=block_sizes,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, s, nh * hd).astype(x.dtype)
         return _linear(out, params["o"])

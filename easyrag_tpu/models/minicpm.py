@@ -178,10 +178,12 @@ class MiniCPMLayerWiseReranker:
             rows.append(first + second + sep_ids + prompt_ids)
         max_len = max(len(r) for r in rows)
         # the reference pads to a multiple of 8 (rerankers.py:290); we pad to
-        # a multiple of 128 so sequence lengths fall into a bounded set of
-        # compile buckets (extra padding is masked out and, with left
-        # padding, the scored last position stays real)
-        max_len = max(((max_len + 127) // 128) * 128, 128)
+        # a bounded set of compile buckets (extra padding is masked out and,
+        # with left padding, the scored last position stays real). Flash
+        # attention at head_dim 64 needs 512-multiples; einsum uses 128.
+        cfg = getattr(self, "cfg", None)
+        bucket = 512 if (cfg is not None and cfg.use_flash) else 128
+        max_len = max(((max_len + bucket - 1) // bucket) * bucket, bucket)
         pad_id = tk.pad_token_id if tk.pad_token_id is not None else 0
         ids = np.full((len(rows), max_len), pad_id, dtype=np.int32)
         mask = np.zeros((len(rows), max_len), dtype=np.int32)

@@ -62,8 +62,12 @@ tpu:
         encoding="utf-8",
     )
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # run the child on plain CPU: drop the axon site hook (its tunnel
+    # handshake blocks for minutes under contention) and the virtual-device
+    # XLA flags the parent test session uses
+    env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
     out = subprocess.run(
         [
             sys.executable, "-m", "easyrag_tpu.cli",
@@ -74,7 +78,7 @@ tpu:
         env=env,
         capture_output=True,
         text=True,
-        timeout=240,
+        timeout=420,  # CPU jit of the retrieval kernels varies with machine load
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "average acc" in out.stdout
