@@ -304,6 +304,14 @@ class EasyRAGPipeline:
             filter_dict = {"dir": query["document"]}
         return filters, filter_dict
 
+    def sort_by_retrieval(self, nodes):
+        """Re-sort reranked nodes by their preserved retrieval score
+        (``pipeline.py:347-349``)."""
+        return sorted(
+            nodes,
+            key=lambda x: -x.node.metadata["retrieval_score"] if x.score else 0,
+        )
+
     def get_node_content(self, node) -> str:
         return get_node_content(
             node, embed_type=self.llm_embed_type, nodes=self.nodes,

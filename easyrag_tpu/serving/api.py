@@ -7,22 +7,75 @@ Replaces the reference's FastAPI service (``src/api.py``): permissive CORS,
 the route contract is identical so the reference's webui/clients work
 unchanged.
 
+Retrieval-only deployments (``re_only`` configs) get request
+micro-batching: concurrent requests within a small window coalesce into one
+device call through ``pipeline.run_retrieval_batch`` (the resident index
+scores a whole batch for the price of one dispatch).
+
 Run:  python -m easyrag_tpu.serving.api --config configs/easyrag.yaml
 """
 
 from __future__ import annotations
 
 import argparse
+import asyncio
 from typing import Optional
 
 from ..config import EasyRAGConfig, load_config
 from ..pipeline import EasyRAGPipeline
 
 
+class RetrievalBatcher:
+    """Coalesce concurrent retrieval-only requests into device batches."""
+
+    def __init__(
+        self, pipeline: EasyRAGPipeline, window_ms: float = 4.0, max_batch: int = 32
+    ) -> None:
+        self.pipeline = pipeline
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._pending: list = []
+        self._flusher: Optional[asyncio.Task] = None
+
+    async def run(self, query: dict) -> dict:
+        loop = asyncio.get_event_loop()
+        fut: asyncio.Future = loop.create_future()
+        self._pending.append((query, fut))
+        if len(self._pending) >= self.max_batch:
+            await self._flush()
+        elif self._flusher is None or self._flusher.done():
+            self._flusher = asyncio.ensure_future(self._delayed_flush())
+        return await fut
+
+    async def _delayed_flush(self) -> None:
+        await asyncio.sleep(self.window)
+        await self._flush()
+
+    async def _flush(self) -> None:
+        batch, self._pending = self._pending, []
+        if not batch:
+            return
+        queries = [q for q, _ in batch]
+        try:
+            results = await self.pipeline.run_retrieval_batch(queries)
+            for (_, fut), res in zip(batch, results):
+                if not fut.done():
+                    fut.set_result(res)
+        except Exception as e:  # noqa: BLE001 — fail all waiters
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+
+
 def create_app(pipeline: EasyRAGPipeline):
     from aiohttp import web
 
     routes = web.RouteTableDef()
+    batcher = (
+        RetrievalBatcher(pipeline)
+        if pipeline.re_only and pipeline.rerank_fusion_type == 0
+        else None
+    )
 
     @routes.get("/test")
     async def test(_request):
@@ -38,7 +91,13 @@ def create_app(pipeline: EasyRAGPipeline):
             "query": body.get("query", ""),
             "document": body.get("document", ""),
         }
-        res = await pipeline.run(query)
+        try:
+            if batcher is not None:
+                res = await batcher.run(query)
+            else:
+                res = await pipeline.run(query)
+        except Exception as e:  # noqa: BLE001 — surface as clean JSON 500
+            return web.json_response({"error": str(e)}, status=500)
         return web.json_response(
             {"answer": res["answer"], "contexts": res["contexts"]}
         )

@@ -280,6 +280,18 @@ def test_api_contract(tmp_path):
             assert body["answer"] == ""
             assert any("CDU" in c for c in body["contexts"])
             assert resp.headers["Access-Control-Allow-Origin"] == "*"
+            # concurrent requests coalesce through the micro-batcher and
+            # return per-query results
+            reqs = [
+                client.post("/v1/rag", json={"query": "鉴权失败如何处理？"}),
+                client.post("/v1/rag", json={"query": "备份"}),
+                client.post("/v1/rag", json={"query": "CDU扩容"}),
+            ]
+            responses = await asyncio.gather(*reqs)
+            bodies = [await r2.json() for r2 in responses]
+            assert any("鉴权" in c for c in bodies[0]["contexts"])
+            assert any("备份" in c for c in bodies[1]["contexts"])
+            assert any("CDU" in c for c in bodies[2]["contexts"])
         finally:
             await client.close()
 
