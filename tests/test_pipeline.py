@@ -237,6 +237,37 @@ def test_ans_refine_and_generation_paths(tmp_path):
     assert "CDU" in res["answer"]
 
 
+def test_llm_embed_type_6_table_context(tmp_path):
+    """llm_embed_type=6 renders contexts through the table-header-recovery
+    walk, wired with the pipeline's nodes/nodeid2idx."""
+    root = tmp_path / "corpus6"
+    (root / "director").mkdir(parents=True)
+    header = "虚机规格表\n| 虚机 | 最大 |\n--- | ---\n"
+    body = "| CDU | 15 |\n| GSU | 5 |\n| SIG | 5 |\n"
+    (root / "director" / "t.txt").write_text(header + body, encoding="utf-8")
+    (root / "director" / "o.txt").write_text("其他文档\n一些内容。\n", encoding="utf-8")
+    (root / "director" / "p.txt").write_text("第三文档\n别的内容。\n", encoding="utf-8")
+    cfg = EasyRAGConfig(
+        re_only=True,
+        retrieval_type=2,
+        use_reranker=0,
+        chunk_size=24,  # force the table body into its own chunk
+        chunk_overlap=0,
+        data_path=str(root),
+        f_topk_2=4,
+        f_topk_3=0,
+        llm_embed_type=6,
+        tpu=TPUConfig(use_pallas=False, max_query_postings=1024),
+    )
+    pipeline = EasyRAGPipeline(cfg)
+    # a chunk containing the pipe-table body exists
+    table_chunks = [n for n in pipeline.nodes if n.text.count("|") >= 5 and "---" not in n.text]
+    assert table_chunks, [n.text for n in pipeline.nodes]
+    res = _run(pipeline, {"query": "CDU GSU SIG 最大"})
+    # the rendered context recovered the header separator from the previous chunk
+    assert any("---" in c and "CDU" in c for c in res["contexts"]), res["contexts"]
+
+
 def test_retrieval_batch_matches_per_query(tmp_path):
     # enable the resident device path so the batch call exercises it
     cfg = _config(tmp_path)
