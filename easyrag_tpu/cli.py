@@ -16,6 +16,7 @@ import argparse
 import asyncio
 import json
 import os
+import time
 from typing import Any, Dict, List
 
 from .config import load_config
@@ -40,18 +41,34 @@ async def run_batch(args: argparse.Namespace) -> None:
 
     print("开始生成答案...")
     answers, all_nodes, all_contexts = [], [], []
+    lat: List[float] = []
+    t_all = time.perf_counter()
     if args.re_only:
         # retrieval-only runs score whole query batches in one device call
         bs = max(config.tpu.query_batch, 1)
         results = []
         for lo in range(0, len(queries), bs):
+            t0 = time.perf_counter()
             results.extend(await pipeline.run_retrieval_batch(queries[lo : lo + bs]))
+            lat.append(time.perf_counter() - t0)
     else:
-        results = [await pipeline.run(dict(query)) for query in queries]
+        results = []
+        for query in queries:
+            t0 = time.perf_counter()
+            results.append(await pipeline.run(dict(query)))
+            lat.append(time.perf_counter() - t0)
+    wall = time.perf_counter() - t_all
     for res in results:
         answers.append(res["answer"])
         all_nodes.append(res["nodes"])
         all_contexts.append(res["contexts"])
+    if queries:
+        lat_sorted = sorted(lat)
+        p50 = lat_sorted[len(lat_sorted) // 2]
+        print(
+            f"吞吐: {len(queries) / wall:.2f} qps | "
+            f"p50 {'batch' if args.re_only else 'query'}: {p50 * 1000:.1f} ms"
+        )
 
     os.makedirs("outputs", exist_ok=True)
     answer_file = f"outputs/submit_result_{args.split}_{args.note}.jsonl"
