@@ -251,10 +251,14 @@ class EasyRAGPipeline:
 
             self.local_llm = LocalHFLLM(cfg.local_llm_name)
 
-        # compressor
+        # compressor (constructed but not invoked in run(), matching the
+        # reference's current behavior — SURVEY.md §2 compressor note)
         if cfg.compress_method:
             self.compressor = ContextCompressor(
-                cfg.compress_method, cfg.compress_rate, self.sparse_retriever
+                cfg.compress_method,
+                cfg.compress_rate,
+                bm25_retriever=self.sparse_retriever,
+                embed_model=self.embed_model,
             )
         else:
             self.compressor = None

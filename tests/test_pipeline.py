@@ -205,6 +205,18 @@ def test_compressor_bm25_extract(tmp_path):
     assert "扩容" in out
 
 
+def test_compressor_embed_extract():
+    from easyrag_tpu.compressors import ContextCompressor
+
+    comp = ContextCompressor("embed_extract", rate=0.4, embed_model=FakeEmbedder())
+    context = "CDU扩容上限为15。备份存储说明。鉴权日志位置。扩容步长为3。"
+    out = comp.compress("CDU扩容", context)
+    assert 0 < len(out) < len(context)
+    # selected sentences keep their original relative order
+    pos = [context.index(s + "。") for s in out.split("。") if s]
+    assert pos == sorted(pos)
+
+
 def test_generation_retry_gives_up():
     from easyrag_tpu.generation import generation
 
