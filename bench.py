@@ -126,7 +126,7 @@ def main() -> None:
     # ---- ours: device-resident index (HBM postings; queries ship only
     # term ids + counts, a few KB per batch) ----
     index = build_sparse_index(corpus, bm25_type=0)
-    resident = ResidentSparseIndex(index, light_cap=2048, max_query_terms=16)
+    resident = ResidentSparseIndex(index, max_query_terms=16)  # auto light_cap
 
     def batches():
         for lo in range(0, N_QUERIES, BATCH):

@@ -77,14 +77,19 @@ class ShardedDenseIndex:
                 NamedSharding(mesh, P("data", None)),
             )
 
+    # NOTE: self stays a static jit arg for mesh/shape metadata, but the
+    # big arrays are passed explicitly — a static self would bake them into
+    # the compile payload as literals (measured: HTTP 413 on the remote
+    # compiler and multi-minute compiles)
     @functools.partial(jax.jit, static_argnames=("self", "k"))
-    def _query(
-        self, q: jnp.ndarray, k: int, dir_filter: jnp.ndarray = None
+    def _query_impl(
+        self, matrix, dir_col, q: jnp.ndarray, k: int,
+        dir_filter: jnp.ndarray = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         mesh = self.mesh
         shard_size = self.shard_size
         num_docs = self.num_docs
-        with_filter = self.dir_col is not None and dir_filter is not None
+        with_filter = dir_col is not None and dir_filter is not None
 
         def shard_fn(matrix_local, q_rep, *rest):
             lo = jax.lax.axis_index("data") * shard_size
@@ -109,10 +114,10 @@ class ShardedDenseIndex:
             return _merge_global_topk(lv, li + lo, "data", k)
 
         in_specs = [P("data", None), P(None, None)]
-        args = [self.matrix, q]
+        args = [matrix, q]
         if with_filter:
             in_specs += [P("data", None), P(None)]
-            args += [self.dir_col, dir_filter]
+            args += [dir_col, dir_filter]
         return jax.shard_map(
             shard_fn,
             mesh=mesh,
@@ -120,6 +125,9 @@ class ShardedDenseIndex:
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
         )(*args)
+
+    def _query(self, q: jnp.ndarray, k: int, dir_filter=None):
+        return self._query_impl(self.matrix, self.dir_col, q, k, dir_filter)
 
     def query(
         self, q: np.ndarray, k: int, dir_filter: np.ndarray = None
@@ -239,10 +247,13 @@ class ShardedResidentSparseIndex:
         return ResidentSparseIndex.query_terms(self, query_tokens)
 
     @functools.partial(jax.jit, static_argnames=("self", "k"))
-    def _score_topk(self, term_ids, counts, k: int, dir_filter=None):
+    def _score_topk_impl(
+        self, heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
+        dir_col, term_ids, counts, k: int, dir_filter=None,
+    ):
         shard_size, num_docs = self.shard_size, self.num_docs
         H, C, P_pad = self.H, self.light_cap, self.max_p
-        with_filter = self.dir_col is not None and dir_filter is not None
+        with_filter = dir_col is not None and dir_filter is not None
 
         def shard_fn(heavy, starts, lens, pdocs, pvals, heavy_row, tids, cnts, *rest):
             B, T = tids.shape
@@ -251,7 +262,7 @@ class ShardedResidentSparseIndex:
             starts, lens = starts[0], lens[0]
             pdocs, pvals = pdocs[0], pvals[0]
 
-            hrow = heavy_row[tids]
+            hrow = heavy_row[tids]  # noqa — replicated lookup table
             hrow_or_drop = jnp.where(hrow >= 0, hrow, H)
             A = jnp.zeros((B, H), jnp.float32)
             b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
@@ -297,12 +308,12 @@ class ShardedResidentSparseIndex:
             P(None, None), P(None, None),
         ]
         args = [
-            self.heavy, self.t_starts, self.t_lens, self.post_docs,
-            self.post_vals, self.t_heavy_row, term_ids, counts,
+            heavy, t_starts, t_lens, post_docs,
+            post_vals, t_heavy_row, term_ids, counts,
         ]
         if with_filter:
             in_specs += [P("data", None), P(None)]
-            args += [self.dir_col, dir_filter]
+            args += [dir_col, dir_filter]
         return jax.shard_map(
             shard_fn,
             mesh=self.mesh,
@@ -310,6 +321,13 @@ class ShardedResidentSparseIndex:
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
         )(*args)
+
+    def _score_topk(self, term_ids, counts, k: int, dir_filter=None):
+        return self._score_topk_impl(
+            self.heavy, self.t_starts, self.t_lens, self.post_docs,
+            self.post_vals, self.t_heavy_row, self.dir_col,
+            term_ids, counts, k, dir_filter,
+        )
 
     def score_topk(self, queries_tokens, k: int, dir_values=None):
         ids = np.stack([self.query_terms(q)[0] for q in queries_tokens])
