@@ -193,6 +193,46 @@ def test_fusion_dedup_and_rrf_semantics():
     assert rrf[0].score == pytest.approx(1 / 61 + 1 / 62)
 
 
+def test_hierarchical_automerge_pipeline(tmp_path):
+    """split_type=1: hierarchical chunking, BM25 over leaves, auto-merging
+    promotes parents when enough children hit (pipeline.py:179-217)."""
+    root = tmp_path / "corpus_h"
+    (root / "director").mkdir(parents=True)
+    # one long doc -> parent chunks with several children each
+    body = "".join(
+        f"CDU扩容第{i}步，检查资源池容量并调整虚机个数。" for i in range(12)
+    )
+    (root / "director" / "long.txt").write_text("扩容手册\n" + body, encoding="utf-8")
+    (root / "director" / "other.txt").write_text(
+        "备份说明\n系统支持全量备份和增量备份。\n", encoding="utf-8"
+    )
+    (root / "director" / "third.txt").write_text(
+        "鉴权说明\n鉴权失败时检查LDAP。\n", encoding="utf-8"
+    )
+    cfg = EasyRAGConfig(
+        re_only=True,
+        retrieval_type=2,
+        use_reranker=0,
+        split_type=1,
+        chunk_size=32,
+        chunk_overlap=0,
+        data_path=str(root),
+        f_topk_2=12,
+        f_topk_3=0,
+        tpu=TPUConfig(use_pallas=False, max_query_postings=2048),
+    )
+    pipeline = EasyRAGPipeline(cfg)
+    from easyrag_tpu.automerge import AutoMergingRetriever
+
+    assert isinstance(pipeline.sparse_retriever, AutoMergingRetriever)
+    assert len(pipeline.all_nodes) > len(pipeline.nodes)  # parents + leaves
+    res = _run(pipeline, {"query": "CDU扩容 检查资源池 虚机个数"})
+    assert res["contexts"]
+    # with many leaf hits, at least one merged (parent) context should be
+    # longer than the leaf chunk size bound
+    assert any(len(c) > 40 for c in res["contexts"]), [len(c) for c in res["contexts"]]
+
+
 def test_compressor_bm25_extract(tmp_path):
     cfg = _config(tmp_path, compress_method="bm25_extract", compress_rate=0.4)
     pipeline = EasyRAGPipeline(cfg)
