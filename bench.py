@@ -26,9 +26,9 @@ import numpy as np
 N_DOCS = 20_000
 VOCAB = 40_000
 DOC_LEN_MEAN = 300
-N_QUERIES = 128
+N_QUERIES = 256
 QUERY_TERMS = 12
-BATCH = 32
+BATCH = 64
 TOPK = 192
 PAD_POSTINGS = 32_768
 BASELINE_QUERIES = 16  # the python path is slow; extrapolate from fewer

@@ -32,7 +32,7 @@ class TPUConfig:
     max_query_terms: int = 64
     max_query_postings: int = 32768
     # query microbatch for batched retrieval
-    query_batch: int = 8
+    query_batch: int = 32
 
 
 @dataclass

@@ -150,14 +150,14 @@ class ShardedResidentSparseIndex:
     replicated global top-k. Corpora beyond one chip's HBM scale linearly.
     """
 
-    def __init__(self, mesh: Mesh, index, light_cap: int = 1024, max_query_terms: int = 64):
+    def __init__(self, mesh: Mesh, index, light_cap=None, max_query_terms: int = 64,
+                 heavy_hbm_budget: int = 512 * 1024 * 1024):
         from ..ops.bm25_resident import ResidentSparseIndex
 
         self.mesh = mesh
         self.host_index = index
         self.dir_vocab = index.dir_vocab
         self.num_docs = index.num_docs
-        self.light_cap = light_cap
         self.max_query_terms = max_query_terms
         n_shards = mesh.shape["data"]
         self.shard_size = (index.num_docs + n_shards - 1) // n_shards
@@ -166,6 +166,15 @@ class ShardedResidentSparseIndex:
         lens = np.diff(offs).astype(np.int64)
         V = len(lens)
         self.V = V
+        if light_cap is None:
+            # same auto policy as single-chip, budget is per shard
+            light_cap = 128
+            while light_cap < self.shard_size:
+                n_heavy = int((lens > light_cap).sum())
+                if n_heavy * self.shard_size * 4 <= heavy_hbm_budget:
+                    break
+                light_cap *= 2
+        self.light_cap = light_cap
 
         # shard-local re-pack: postings split by doc range; per-shard CSR
         docs = index.stats.post_docs
