@@ -227,7 +227,14 @@ class BM25Retriever:
                 dir_fs.append(-1)
             else:
                 dir_fs.append(self.index.dir_vocab.get(fd["dir"], -2))
-        valid = [i for i, r in enumerate(rows) if r is not None]
+        # rows whose filter can never match (unknown dir / no dir column)
+        # resolve to empty without touching the device
+        no_dir_col = self._resident.dir_col is None
+        valid = [
+            i
+            for i, r in enumerate(rows)
+            if r is not None and not (dir_fs[i] == -2 and no_dir_col)
+        ]
         results: List[List[NodeWithScore]] = [[] for _ in query_bundles]
         if valid:
             ids = np.stack([rows[i][0] for i in valid])
