@@ -35,14 +35,18 @@ BASELINE_QUERIES = 16  # the python path is slow; extrapolate from fewer
 
 
 def make_corpus(rng):
-    # Zipfian token distribution: a realistic postings skew
+    # Zipfian token distribution: a realistic postings skew. One vectorized
+    # draw for all tokens (a per-doc rng.choice loop costs ~a minute).
     zipf = 1.0 / np.arange(1, VOCAB + 1)
     zipf /= zipf.sum()
     lengths = rng.poisson(DOC_LEN_MEAN, size=N_DOCS).clip(30)
-    corpus = [
-        rng.choice(VOCAB, size=n, p=zipf).tolist() for n in lengths
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    flat = rng.choice(VOCAB, size=int(bounds[-1]), p=zipf)
+    names = np.array([f"t{t}" for t in range(VOCAB)])
+    flat_names = names[flat]
+    return [
+        flat_names[bounds[i] : bounds[i + 1]].tolist() for i in range(N_DOCS)
     ]
-    return [[f"t{t}" for t in doc] for doc in corpus]
 
 
 def make_queries(rng, corpus):

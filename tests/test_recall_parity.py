@@ -66,6 +66,31 @@ def _reference_retrieve(nodes, tokenizer, stopwords, query, top_k, embed_type,
     return out
 
 
+def test_term_budget_overflow_falls_back_identically(corpus_nodes):
+    """Queries with more distinct terms than the resident budget take the
+    gather path and must rank identically."""
+    tk = JiebaTokenizer()
+    sw = default_stopwords()
+    small = BM25Retriever(
+        corpus_nodes, tk, sw, similarity_top_k=10, embed_type=0,
+        use_pallas=False, max_query_terms=4,  # force overflow
+    )
+    big = BM25Retriever(
+        corpus_nodes, tk, sw, similarity_top_k=10, embed_type=0,
+        use_pallas=False, max_query_terms=64,
+    )
+    query = "虚机扩容备份鉴权巡检升级配置日志网络存储"  # many distinct terms
+    a = [(id(n.node), round(n.score, 8)) for n in small.retrieve(QueryBundle(query_str=query))]
+    b = [(id(n.node), round(n.score, 8)) for n in big.retrieve(QueryBundle(query_str=query))]
+    assert a == b and a
+    # batched form with one overflowing row also matches per-query results
+    bundles = [QueryBundle(query_str=query), QueryBundle(query_str="备份恢复")]
+    batch = small.retrieve_batch(bundles)
+    singles = [small.retrieve(qb) for qb in bundles]
+    for got, want in zip(batch, singles):
+        assert [n.node.node_id for n in got] == [n.node.node_id for n in want]
+
+
 @pytest.mark.parametrize("embed_type", [0, 2])
 def test_full_stack_recall_parity(corpus_nodes, embed_type):
     tk = JiebaTokenizer()
