@@ -141,6 +141,56 @@ def test_token_compress_ragged_tail_mean():
     assert np.asarray(got_mask)[0].sum() == 8
 
 
+def test_gemma_two_compression_points():
+    """Both compress layers fire when cutoff exceeds them; sequence shrinks
+    twice and scoring still reads the last real position."""
+    import jax
+
+    from easyrag_tpu.models.layers import DecoderConfig, init_params
+
+    cfg = DecoderConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=8, gemma=True, attn_logit_softcapping=50.0,
+        query_pre_attn_scalar=8, dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.key(1))
+    rng = np.random.default_rng(3)
+    params["heads"] = {4: jnp.asarray(rng.normal(size=(1, 32)), jnp.float32)}
+
+    class FakeTok:
+        bos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=False, max_length=None, truncation=False):
+            ids = [(hash(ch) % 120) + 2 for ch in text]
+            if max_length is not None and truncation:
+                ids = ids[:max_length]
+            return {"input_ids": ids}
+
+    pairs = [("查询一", "很长的文档内容 " * 20), ("查询二", "短文")]
+    double = GemmaCostWiseReranker(
+        cfg, params, FakeTok(), cutoff_layer=4, compress_layer=(1, 3),
+        compress_ratio=2, max_length=128,
+    )
+    s2, layer = double.score_pairs(pairs)
+    assert layer == 4 and np.isfinite(s2).all()
+    single = GemmaCostWiseReranker(
+        cfg, params, FakeTok(), cutoff_layer=4, compress_layer=(1,),
+        compress_ratio=2, max_length=128,
+    )
+    s1, _ = single.score_pairs(pairs)
+    # the second compression changes the computation
+    assert not np.allclose(s2, s1)
+    # a compress point at/after the cutoff is skipped: (1, 4) == (1,)
+    at_cutoff = GemmaCostWiseReranker(
+        cfg, params, FakeTok(), cutoff_layer=4, compress_layer=(1, 4),
+        compress_ratio=2, max_length=128,
+    )
+    s3, _ = at_cutoff.score_pairs(pairs)
+    np.testing.assert_allclose(s3, s1, rtol=1e-5)
+
+
 def test_gemma_scorer_end_to_end_with_compression():
     import jax
 
