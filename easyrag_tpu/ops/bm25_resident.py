@@ -224,3 +224,75 @@ class ResidentSparseIndex:
             )
         tv, ti = self._score_topk(jnp.asarray(ids), jnp.asarray(cnts), k, dir_f)
         return np.asarray(tv), np.asarray(ti)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2"
+    ),
+)
+def _dual_resident_score_topk(
+    args1, args2, term_ids1, counts1, term_ids2, counts2, dir_filter,
+    *, k1: int, k2: int, num_docs: int,
+    light_cap1: int, light_cap2: int, P1: int, P2: int,
+):
+    """Score one query batch against two resident indexes (the content and
+    know-path routes of the dual-route retrieval) in one compiled step —
+    one dispatch instead of two, which matters when each dispatch is a
+    network round trip. The routes have separate vocabularies, so each
+    takes its own term ids (same tokens, per-index lookup). Only the
+    content route takes the dir filter, matching the reference
+    (the path route is unfiltered, ``pipeline.py:357-365``)."""
+    heavy1, hrow1, starts1, lens1, pdocs1, pvals1, dircol1 = args1
+    heavy2, hrow2, starts2, lens2, pdocs2, pvals2, _ = args2
+    tv1, ti1 = _resident_score_topk(
+        heavy1, hrow1, starts1, lens1, pdocs1, pvals1, dircol1,
+        term_ids1, counts1, dir_filter,
+        k=k1, num_docs=num_docs, light_cap=light_cap1, P=P1,
+    )
+    tv2, ti2 = _resident_score_topk(
+        heavy2, hrow2, starts2, lens2, pdocs2, pvals2, None,
+        term_ids2, counts2, None,
+        k=k2, num_docs=num_docs, light_cap=light_cap2, P=P2,
+    )
+    return tv1, ti1, tv2, ti2
+
+
+class DualResidentScorer:
+    """One-dispatch scorer over the content + path resident indexes."""
+
+    def __init__(self, content: "ResidentSparseIndex", path: "ResidentSparseIndex"):
+        if content.num_docs != path.num_docs:
+            raise ValueError("dual routes must index the same node list")
+        self.content = content
+        self.path = path
+
+    def _args(self, r: "ResidentSparseIndex"):
+        return (
+            r.heavy, r.t_heavy_row, r.t_starts, r.t_light_lens,
+            r.post_docs, r.post_vals, r.dir_col,
+        )
+
+    def score_topk(
+        self, query_tokens_batch, k_content: int, k_path: int, dir_fs,
+    ):
+        """Tokenized queries -> ((tv1, ti1), (tv2, ti2)) host arrays.
+        ``dir_fs``: per-row int filter values (-1 none, -2 never-match)."""
+        ids1 = np.stack([self.content.query_terms(q)[0] for q in query_tokens_batch])
+        cnt1 = np.stack([self.content.query_terms(q)[1] for q in query_tokens_batch])
+        ids2 = np.stack([self.path.query_terms(q)[0] for q in query_tokens_batch])
+        cnt2 = np.stack([self.path.query_terms(q)[1] for q in query_tokens_batch])
+        tv1, ti1, tv2, ti2 = _dual_resident_score_topk(
+            self._args(self.content), self._args(self.path),
+            jnp.asarray(ids1), jnp.asarray(cnt1),
+            jnp.asarray(ids2), jnp.asarray(cnt2),
+            jnp.asarray(np.asarray(dir_fs, dtype=np.int32)),
+            k1=k_content, k2=k_path, num_docs=self.content.num_docs,
+            light_cap1=self.content.light_cap, light_cap2=self.path.light_cap,
+            P1=self.content.P, P2=self.path.P,
+        )
+        # one bulk fetch: separate np.asarray calls each pay a host round
+        # trip on remote-attached devices
+        tv1, ti1, tv2, ti2 = jax.device_get((tv1, ti1, tv2, ti2))
+        return (tv1, ti1), (tv2, ti2)

@@ -31,7 +31,7 @@ from .corpus.views import get_node_content
 from .generation import CompletionResponse, HyDETransform, OpenAICompatLLM, generation
 from .index.artifact import CorpusArtifact
 from .retrievers import BM25Retriever, DenseRetriever, HybridRetriever
-from .schema import QueryBundle, build_nodeid2idx
+from .schema import NodeWithScore, QueryBundle, build_nodeid2idx
 from .templates import (
     HYDE_PROMPT_MODIFIED_MERGING,
     HYDE_PROMPT_MODIFIED_V2,
@@ -210,12 +210,27 @@ class EasyRAGPipeline:
             )
             emit("artifact", {"saved_nodes": len(self.nodes)})
 
+        # one-dispatch dual-route scorer: both BM25 routes in a single jit
+        # (each dispatch is a network round trip on remote-attached TPUs)
+        self._dual_scorer = None
+        if (
+            self.path_retriever is not None
+            and getattr(self.sparse_retriever, "_resident", None) is not None
+            and getattr(self.path_retriever, "_resident", None) is not None
+        ):
+            from .ops.bm25_resident import DualResidentScorer
+
+            self._dual_scorer = DualResidentScorer(
+                self.sparse_retriever._resident, self.path_retriever._resident
+            )
+
         if cfg.split_type == 1:
             from .automerge import AutoMergingRetriever
 
             self.sparse_retriever = AutoMergingRetriever(
                 self.sparse_retriever, self.all_nodes, simple_ratio_thresh=0.4
             )
+            self._dual_scorer = None  # auto-merge needs the per-route path
 
         # route selection
         if cfg.retrieval_type == 1:
@@ -386,6 +401,46 @@ class EasyRAGPipeline:
             out.append({"answer": "", "nodes": fused, "contexts": contents})
         return out
 
+    def _dual_retrieve(self, query_bundle: QueryBundle):
+        """Both BM25 routes in one device dispatch when the dual scorer is
+        available and the query fits the term budget; None -> caller falls
+        back to per-route retrieval. Content route takes the dir filter,
+        path route is unfiltered (reference ``pipeline.py:357-365``)."""
+        if self._dual_scorer is None:
+            return None
+        sparse = self.sparse_retriever
+        sparse.filter_dict = self.filter_dict
+        tokens = sparse._tokenize_query(query_bundle.query_str)
+        dir_f = sparse._dir_filter_value()
+        try:
+            sparse._resident.query_terms(tokens)
+            self.path_retriever._resident.query_terms(tokens)
+        except ValueError:
+            return None  # term-budget overflow: per-route gather fallback
+        (tv1, ti1), (tv2, ti2) = self._dual_scorer.score_topk(
+            [tokens],
+            sparse._similarity_top_k,
+            self.path_retriever._similarity_top_k,
+            [dir_f],
+        )
+
+        def to_nodes(tv, ti, allow):
+            out = []
+            if not allow:
+                return out
+            import numpy as np
+
+            for v, i in zip(tv[0], ti[0]):
+                if not np.isfinite(v):
+                    break
+                out.append(NodeWithScore(node=self.nodes[int(i)], score=float(v)))
+            return out
+
+        # -2 with no dir column can never match (host-resolved, as in
+        # BM25Retriever.retrieve)
+        content_allow = not (dir_f == -2 and sparse._resident.dir_col is None)
+        return to_nodes(tv1, ti1, content_allow), to_nodes(tv2, ti2, True)
+
     async def generation_with_knowledge_retrieval(
         self, query_str: str, hyde_query: str = ""
     ) -> Dict[str, Any]:
@@ -393,13 +448,17 @@ class EasyRAGPipeline:
         fusion -> rerank -> QA generation -> optional answer refinement."""
         query_bundle = QueryBundle(query_str=query_str + hyde_query)
         with trace("retrieval"):
-            node_with_scores = await self.sparse_retriever.aretrieve(query_bundle)
-            if self.path_retriever is not None:
-                node_with_scores_path = await self.path_retriever.aretrieve(
-                    query_bundle
-                )
+            routes = self._dual_retrieve(query_bundle)
+            if routes is not None:
+                node_with_scores, node_with_scores_path = routes
             else:
-                node_with_scores_path = []
+                node_with_scores = await self.sparse_retriever.aretrieve(query_bundle)
+                if self.path_retriever is not None:
+                    node_with_scores_path = await self.path_retriever.aretrieve(
+                        query_bundle
+                    )
+                else:
+                    node_with_scores_path = []
             node_with_scores = HybridRetriever.fusion(
                 [node_with_scores, node_with_scores_path]
             )

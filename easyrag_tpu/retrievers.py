@@ -159,7 +159,10 @@ class BM25Retriever:
                     self._similarity_top_k,
                     jnp.asarray(np.array([dir_f], dtype=np.int32)),
                 )
-                return np.asarray(tv)[0], np.asarray(ti)[0]
+                import jax
+
+                tv, ti = jax.device_get((tv, ti))  # one bulk fetch
+                return tv[0], ti[0]
         term_ids = self.index.query_term_ids(query_tokens)
         ids, vals = self.index.gather_postings(
             term_ids, pad_to=self.max_query_postings, bucket=True
@@ -244,7 +247,9 @@ class BM25Retriever:
                 jnp.asarray(ids), jnp.asarray(cnts), self._similarity_top_k,
                 jnp.asarray(dirs),
             )
-            tv, ti = np.asarray(tv), np.asarray(ti)
+            import jax
+
+            tv, ti = jax.device_get((tv, ti))  # one bulk fetch
             for row, i in enumerate(valid):
                 out: List[NodeWithScore] = []
                 for v, j in zip(tv[row], ti[row]):
