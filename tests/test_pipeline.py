@@ -89,6 +89,26 @@ def test_dir_filter_routes_to_other_package(tmp_path):
     assert all(n.node.metadata["dir"] == "director" for n in res2["nodes"])
 
 
+def test_dual_dispatch_equals_per_route(tmp_path):
+    """The one-dispatch dual scorer must produce exactly the per-route
+    results (content filtered, path unfiltered)."""
+    pipeline = EasyRAGPipeline(_config(tmp_path))
+    assert pipeline._dual_scorer is not None
+    queries = [
+        {"query": "CDU虚机扩容的最大SC个数是多少？"},
+        {"query": "鉴权失败如何处理？", "document": "umac"},
+        {"query": "备份"},
+    ]
+    dual = [_run(pipeline, dict(q)) for q in queries]
+    pipeline._dual_scorer = None  # force the per-route path
+    per_route = [_run(pipeline, dict(q)) for q in queries]
+    for a, b in zip(dual, per_route):
+        assert a["contexts"] == b["contexts"]
+        assert [round(n.score, 8) for n in a["nodes"]] == [
+            round(n.score, 8) for n in b["nodes"]
+        ]
+
+
 def test_dual_route_fusion_includes_path_hits(tmp_path):
     pipeline = EasyRAGPipeline(_config(tmp_path))
     # query wording that matches a know_path token (备份) — the path route
