@@ -42,6 +42,28 @@ from .templates import (
 from .utils.events import emit, trace
 
 
+def _corpus_fingerprint(data_path: str) -> str:
+    """Cheap content fingerprint of the corpus tree (names+sizes+mtimes) so
+    a stale artifact is rebuilt when files change — the reference's
+    reuse-if-populated qdrant check (``pipeline.py:138-158``) silently
+    serves stale data in that case."""
+    import hashlib
+
+    h = hashlib.sha256()
+    if os.path.isdir(data_path):
+        for dirpath, dirnames, filenames in os.walk(data_path):
+            dirnames.sort()
+            for name in sorted(filenames):
+                if not name.endswith(".txt"):
+                    continue
+                p = os.path.join(dirpath, name)
+                st = os.stat(p)
+                h.update(
+                    f"{os.path.relpath(p, data_path)}:{st.st_size}:{st.st_mtime_ns}".encode()
+                )
+    return h.hexdigest()[:16]
+
+
 class EasyRAGPipeline:
     def __init__(
         self,
@@ -116,6 +138,7 @@ class EasyRAGPipeline:
         data_path = os.path.abspath(cfg.data_path)
         fingerprint = {
             "data_path": data_path,
+            "corpus": _corpus_fingerprint(data_path),
             "chunk_size": cfg.chunk_size,
             "chunk_overlap": cfg.chunk_overlap,
             "split_type": cfg.split_type,

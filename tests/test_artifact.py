@@ -69,21 +69,34 @@ def test_pipeline_artifact_fast_boot(tmp_path):
     art = CorpusArtifact(cfg.index_artifact_path)
     assert art.exists()
 
-    # boot again from artifact; results identical. read_data would show the
-    # corpus changed on disk, proving documents weren't re-read.
-    import os
+    # boot again from the artifact: documents are not re-read (tracked via
+    # a read_data monkeypatch-by-event) and results are identical
+    events = []
+    from easyrag_tpu.utils.events import on
 
-    os.remove(os.path.join(cfg.data_path, "director", "a.txt"))
+    off = on(lambda kind, payload: events.append(kind))
     p2 = EasyRAGPipeline(cfg)
+    off()
+    assert "artifact" in events and "ingestion" not in events
     q = {"query": "CDU扩容个数"}
     r1 = asyncio.get_event_loop().run_until_complete(p1.run(dict(q)))
     r2 = asyncio.get_event_loop().run_until_complete(p2.run(dict(q)))
     assert r1["contexts"] == r2["contexts"]
     assert r1["contexts"]  # non-empty
 
-    # changing a fingerprint knob invalidates the cache -> rebuild (which
-    # now fails to find content since the file was deleted)
-    cfg2 = EasyRAGConfig(**{**cfg.to_dict(), "chunk_size": 32, "tpu": cfg.tpu})
-    p3 = EasyRAGPipeline(cfg2)
+    # corpus content change invalidates the cache -> rebuild from disk
+    # (the reference's reuse-if-populated qdrant check would serve stale)
+    import os
+
+    os.remove(os.path.join(cfg.data_path, "director", "a.txt"))
+    p3 = EasyRAGPipeline(cfg)
     r3 = asyncio.get_event_loop().run_until_complete(p3.run(dict(q)))
-    assert r3["contexts"] == []
+    assert all("CDU" not in c for c in r3["contexts"])
+
+    # changing a fingerprint knob also invalidates
+    cfg2 = EasyRAGConfig(**{**cfg.to_dict(), "chunk_size": 32, "tpu": cfg.tpu})
+    events2 = []
+    off = on(lambda kind, payload: events2.append(kind))
+    EasyRAGPipeline(cfg2)
+    off()
+    assert "ingestion" in events2  # rebuilt, not loaded
