@@ -120,12 +120,16 @@ def main() -> None:
     corpus = make_corpus(rng)
     queries = make_queries(rng, corpus)
 
-    # ---- baseline: reference CPU path ----
+    # ---- baseline: reference CPU path (best of 2 passes: machine-load
+    # noise should not inflate our ratio) ----
     ref = ReferenceBM25(corpus)
-    t0 = time.perf_counter()
-    for q in queries[:BASELINE_QUERIES]:
-        ref.query_topk(q, TOPK)
-    baseline_qps = BASELINE_QUERIES / (time.perf_counter() - t0)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for q in queries[:BASELINE_QUERIES]:
+            ref.query_topk(q, TOPK)
+        best = min(best, time.perf_counter() - t0)
+    baseline_qps = BASELINE_QUERIES / best
 
     # ---- ours: device-resident index (HBM postings; queries ship only
     # term ids + counts, a few KB per batch) ----
