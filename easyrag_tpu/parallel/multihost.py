@@ -76,6 +76,35 @@ def build_shard(
     return nodes
 
 
+def allgather_shard_embeddings(local_emb: np.ndarray) -> np.ndarray:
+    """DCN-collective alternative to the shared-filesystem artifact path:
+    every host contributes its shard's embeddings and receives the full
+    matrix in process-concatenation order (the same global order
+    :func:`assemble_shards` defines). Hosts must call collectively.
+
+    Shard sizes differ (chunking is content-dependent), so counts are
+    exchanged first and shards are padded to the max before the gather.
+    Degenerates to identity in single-process runs.
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    pcount = jax.process_count()
+    if pcount == 1:
+        return np.asarray(local_emb)
+    local_emb = np.asarray(local_emb, dtype=np.float32)
+    counts = multihost_utils.process_allgather(
+        np.asarray([len(local_emb)], dtype=np.int64)
+    ).reshape(-1)
+    max_rows = int(counts.max())
+    padded = np.zeros((max_rows, local_emb.shape[1]), dtype=np.float32)
+    padded[: len(local_emb)] = local_emb
+    gathered = multihost_utils.process_allgather(padded)  # [P, max_rows, D]
+    return np.concatenate(
+        [gathered[p][: int(counts[p])] for p in range(pcount)]
+    )
+
+
 def assemble_shards(
     out_dir: str,
 ) -> Tuple[List[TextNode], Optional[np.ndarray]]:

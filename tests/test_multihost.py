@@ -21,6 +21,14 @@ def _docs():
     return [Document(text=t, metadata={"file_path": f"d/{i}.txt"}) for i, t in enumerate(texts)]
 
 
+def test_allgather_single_process_identity():
+    from easyrag_tpu.parallel.multihost import allgather_shard_embeddings
+
+    emb = np.arange(12, dtype=np.float32).reshape(4, 3)
+    out = allgather_shard_embeddings(emb)
+    np.testing.assert_array_equal(out, emb)
+
+
 def test_shard_documents_partition():
     docs = list(range(10))
     shards = [shard_documents(docs, p, 3) for p in range(3)]
