@@ -6,8 +6,9 @@ The reference scores every query over the full corpus in Python/numpy
 a Python loop builds the term-frequency vector from per-doc dicts, then
 numpy math + full argsort). The baseline below reproduces that cost model
 faithfully (same data structures, same per-term O(N) dict walk, same
-argsort). Ours is the packed eager-score index: host gather of posting
-slices + device scatter/top-k in one jitted step, queries batched.
+argsort). Ours is the device-resident index (``ops/bm25_resident.py``):
+postings live in HBM, queries ship only term ids + counts, and scoring +
+filtered top-k run in one jitted step per 64-query batch.
 
 Both sides consume identical pre-tokenized queries (jieba cost is common
 and excluded from both). Corpus is synthetic but statistically shaped like
@@ -30,7 +31,6 @@ N_QUERIES = 256
 QUERY_TERMS = 12
 BATCH = 64
 TOPK = 192
-PAD_POSTINGS = 32_768
 BASELINE_QUERIES = 16  # the python path is slow; extrapolate from fewer
 
 
