@@ -71,6 +71,37 @@ def test_resident_dir_filter(setup):
     assert not np.isfinite(tv[2]).any()
 
 
+def test_stream_matches_per_batch(setup):
+    """The one-dispatch scan-over-batches path is bit-identical to the
+    per-batch dispatch path, including dir filters and tail padding."""
+    _, _, resident, _ = setup
+    queries = [
+        ["w3", "w14", "w15"],
+        ["w0"],
+        ["w9", "w9"],
+        ["w1", "w2"],
+        ["w5", "w7", "w11"],
+    ]
+    dir_values = ["d1", None, None, "nodir", "d2"]
+    ref_tv, ref_ti = resident.score_topk(queries, 15, dir_values=dir_values)
+    # batch=2 over 5 queries: 3 scan steps with a padded tail row
+    tv, ti = resident.stream_score_topk(
+        queries, 15, batch=2, dir_values=dir_values
+    )
+    np.testing.assert_array_equal(ti, ref_ti)
+    np.testing.assert_array_equal(tv, ref_tv)
+
+
+def test_stream_checksum_is_device_scalar(setup):
+    _, _, resident, _ = setup
+    queries = [["w3"], ["w0", "w1"], ["w2"]]
+    tvs, tis, checksum, q = resident.stream_score_topk_device(
+        queries, 5, batch=2
+    )
+    assert q == 3 and tvs.shape == (2, 2, 5)
+    assert int(checksum) == int(np.asarray(tis).sum())
+
+
 def test_query_terms_overflow_raises(setup):
     _, _, resident, _ = setup
     with pytest.raises(ValueError):
