@@ -44,13 +44,13 @@ async def run_batch(args: argparse.Namespace) -> None:
     lat: List[float] = []
     t_all = time.perf_counter()
     if args.re_only:
-        # retrieval-only runs score whole query batches in one device call
-        bs = max(config.tpu.query_batch, 1)
-        results = []
-        for lo in range(0, len(queries), bs):
-            t0 = time.perf_counter()
-            results.extend(await pipeline.run_retrieval_batch(queries[lo : lo + bs]))
-            lat.append(time.perf_counter() - t0)
+        # retrieval-only runs hand the WHOLE query set to the pipeline in
+        # one call: retrieve_batch streams it through the device in fixed
+        # 64-query scan steps (one dispatch per route), so host-side
+        # chunking would only add round trips
+        t0 = time.perf_counter()
+        results = await pipeline.run_retrieval_batch(queries)
+        lat.append(time.perf_counter() - t0)
     else:
         results = []
         for query in queries:

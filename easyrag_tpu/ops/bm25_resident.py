@@ -277,27 +277,50 @@ class ResidentSparseIndex:
         by repetition. Use this for batch eval / benchmarking: one upload,
         one dispatch, and the 4-byte checksum is the completion barrier —
         fetch the bulk results only if you need them."""
-        Q = len(queries_tokens)
-        n_batches = (Q + batch - 1) // batch
-        # tail padding: empty queries (all-sentinel terms -> every score 0
-        # -> dropped rows), stripped again by the host-array variant
-        padded = list(queries_tokens) + [[]] * (n_batches * batch - Q)
-        prep = [self.query_terms(q) for q in padded]
-        ids = np.stack([p[0] for p in prep]).reshape(n_batches, batch, -1)
-        cnts = np.stack([p[1] for p in prep]).reshape(n_batches, batch, -1)
+        prep = [self.query_terms(q) for q in queries_tokens]
+        ids = np.stack([p[0] for p in prep])
+        cnts = np.stack([p[1] for p in prep])
         dir_f = None
         if dir_values is not None and self.dir_col is not None:
-            dvals = list(dir_values) + [None] * (n_batches * batch - Q)
-            dir_f = jnp.asarray(
-                np.array(
-                    [self.dir_vocab.get(d, -2) if d else -1 for d in dvals],
-                    dtype=np.int32,
-                ).reshape(n_batches, batch)
+            dir_f = np.array(
+                [self.dir_vocab.get(d, -2) if d else -1 for d in dir_values],
+                dtype=np.int32,
             )
+        return self.stream_from_arrays(ids, cnts, dir_f, k, batch=batch)
+
+    def stream_from_arrays(
+        self,
+        ids: np.ndarray,  # [Q, T] int32 term ids (sentinel-padded rows)
+        cnts: np.ndarray,  # [Q, T] f32
+        dir_f: Optional[np.ndarray],  # [Q] int32 or None
+        k: int,
+        batch: int = 64,
+    ):
+        """Lower-level stream entry for callers that already prepped term-id
+        arrays (``retrievers.BM25Retriever.retrieve_batch``). Pads the query
+        axis to a multiple of ``batch`` with sentinel rows (every score 0 ->
+        dropped) so the compiled shape is fixed per scan length, then scores
+        the whole stream in one dispatch."""
+        Q = ids.shape[0]
+        n_batches = (Q + batch - 1) // batch
+        pad = n_batches * batch - Q
+        if pad:
+            ids = np.concatenate(
+                [ids, np.full((pad, ids.shape[1]), self.V, np.int32)]
+            )
+            cnts = np.concatenate(
+                [cnts, np.zeros((pad, cnts.shape[1]), np.float32)]
+            )
+            if dir_f is not None:
+                dir_f = np.concatenate([dir_f, np.full(pad, -1, np.int32)])
         tvs, tis, checksum = _resident_score_topk_stream(
             self.heavy, self.t_heavy_row, self.t_starts, self.t_light_lens,
             self.post_docs, self.post_vals, self.dir_col,
-            jnp.asarray(ids), jnp.asarray(cnts), dir_f,
+            jnp.asarray(ids.reshape(n_batches, batch, -1)),
+            jnp.asarray(cnts.reshape(n_batches, batch, -1)),
+            jnp.asarray(dir_f.reshape(n_batches, batch))
+            if dir_f is not None
+            else None,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
         )
         return tvs, tis, checksum, Q

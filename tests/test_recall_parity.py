@@ -91,6 +91,34 @@ def test_term_budget_overflow_falls_back_identically(corpus_nodes):
         assert [n.node.node_id for n in got] == [n.node.node_id for n in want]
 
 
+def test_large_batch_stream_path_matches_per_query(corpus_nodes):
+    """>64 queries route through the one-dispatch stream scorer; results
+    (ordering, scores, per-row dir filters, overflow fallback) must be
+    identical to per-query retrieve()."""
+    tk = JiebaTokenizer()
+    sw = default_stopwords()
+    retriever = BM25Retriever(
+        corpus_nodes, tk, sw, similarity_top_k=10, embed_type=0,
+        use_pallas=False, max_query_terms=8,
+    )
+    base = QUERIES + ["虚机扩容备份鉴权巡检升级配置日志网络存储"]  # overflow row
+    bundles = [QueryBundle(query_str=base[i % len(base)]) for i in range(70)]
+    fds = [
+        None if i % 3 == 0 else {"dir": f"d{i % 4}"} if i % 3 == 1 else {"dir": "nodir"}
+        for i in range(70)
+    ]
+    batch = retriever.retrieve_batch(bundles, fds)
+    for i, (qb, fd) in enumerate(zip(bundles, fds)):
+        retriever.filter_dict = fd
+        want = retriever.retrieve(qb)
+        got = batch[i]
+        assert [n.node.node_id for n in got] == [n.node.node_id for n in want], i
+        np.testing.assert_allclose(
+            [n.score for n in got], [n.score for n in want], rtol=1e-6
+        )
+    retriever.filter_dict = None
+
+
 @pytest.mark.parametrize("embed_type", [0, 2])
 def test_full_stack_recall_parity(corpus_nodes, embed_type):
     tk = JiebaTokenizer()
