@@ -37,7 +37,8 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 def _resident_score_topk_impl(
     heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals, dir_col,
-    term_ids, counts, dir_filter, *, k: int, num_docs: int, light_cap: int, P: int,
+    term_ids, counts, dir_filter, heavy_scales=None,
+    *, k: int, num_docs: int, light_cap: int, P: int,
 ):
     B, T = term_ids.shape
     N, C = num_docs, light_cap
@@ -51,13 +52,34 @@ def _resident_score_topk_impl(
     A = A.at[b_idx, hrow_or_drop].add(
         jnp.where(hrow >= 0, counts, 0.0), mode="drop"
     )
-    scores = jax.lax.dot_general(
-        A,
-        heavy,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # keep f32 exact on the MXU
-    )  # [B, N]
+    dims = (((1,), (0,)), ((), ()))
+    if heavy.dtype == jnp.int8:
+        # s8 x s8 -> s32 natively on the MXU. Query-term counts are small
+        # integers, exact in s8 (clipped defensively); the per-DOC-COLUMN
+        # scale factors out of the contraction over terms and is applied
+        # once to the s32 result.
+        scores = jax.lax.dot_general(
+            jnp.clip(A, 0, 127).astype(jnp.int8),
+            heavy,
+            dimension_numbers=dims,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * heavy_scales[None, :]
+    elif heavy.dtype == jnp.bfloat16:
+        # counts <= 127 are exact in bf16; only the stored postings round
+        scores = jax.lax.dot_general(
+            A.astype(jnp.bfloat16),
+            heavy,
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        scores = jax.lax.dot_general(
+            A,
+            heavy,
+            dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # keep f32 exact on the MXU
+        )  # [B, N]
 
     # light part: bounded gather of each term's postings + scatter-add
     starts = t_starts[term_ids]  # [B, T]
@@ -95,7 +117,8 @@ _resident_score_topk = functools.partial(
 )
 def _resident_score_topk_stream(
     heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals, dir_col,
-    term_ids, counts, dir_filter, *, k: int, num_docs: int, light_cap: int, P: int,
+    term_ids, counts, dir_filter, heavy_scales=None,
+    *, k: int, num_docs: int, light_cap: int, P: int,
 ):
     """Score a whole query STREAM in one compiled dispatch.
 
@@ -115,7 +138,7 @@ def _resident_score_topk_stream(
         ids, cnts, dirf = inp if dir_filter is not None else (*inp, None)
         tv, ti = _resident_score_topk_impl(
             heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals,
-            dir_col, ids, cnts, dirf,
+            dir_col, ids, cnts, dirf, heavy_scales,
             k=k, num_docs=num_docs, light_cap=light_cap, P=P,
         )
         return 0, (tv, ti)
@@ -134,10 +157,22 @@ class ResidentSparseIndex:
         light_cap: Optional[int] = None,
         max_query_terms: int = 64,
         heavy_hbm_budget: int = 512 * 1024 * 1024,
+        heavy_dtype: str = "float32",
     ) -> None:
+        """``heavy_dtype`` trades exactness for HBM headroom on large
+        corpora: ``float32`` (default) is exact vs the host oracle;
+        ``bfloat16`` halves the heavy matrix (stored postings round to 8
+        mantissa bits, ~0.4% score error); ``int8`` quarters it (per-doc-
+        column symmetric quantization, s8 MXU accumulation in s32). Smaller
+        dtypes let the auto ``light_cap`` fall further, shifting work from
+        the slow gather tail to the fast dense matmul."""
+        if heavy_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"unsupported heavy_dtype {heavy_dtype!r}")
         self.host_index = index
         self.num_docs = index.num_docs
         self.max_query_terms = max_query_terms
+        self.heavy_dtype = heavy_dtype
+        itemsize = {"float32": 4, "bfloat16": 2, "int8": 1}[heavy_dtype]
 
         offs = index.stats.term_offsets
         lens = np.diff(offs).astype(np.int32)
@@ -150,7 +185,7 @@ class ResidentSparseIndex:
             light_cap = 128
             while light_cap < index.num_docs:
                 n_heavy = int((lens > light_cap).sum())
-                if n_heavy * index.num_docs * 4 <= heavy_hbm_budget:
+                if n_heavy * index.num_docs * itemsize <= heavy_hbm_budget:
                     break
                 light_cap *= 2
         self.light_cap = light_cap
@@ -184,7 +219,21 @@ class ResidentSparseIndex:
 
         self.V = V
         self.P = P
-        self.heavy = jnp.asarray(heavy_matrix)
+        self.heavy_scales = None
+        if heavy_dtype == "int8":
+            # per-doc-column symmetric scale: factors out of the term
+            # contraction (scores[b,d] = s[d] * sum_h counts[b,h]*q[h,d])
+            col_max = np.abs(heavy_matrix).max(axis=0)
+            scales = np.where(col_max > 0, col_max / 127.0, 1.0).astype(
+                np.float32
+            )
+            q = np.rint(heavy_matrix / scales[None, :]).astype(np.int8)
+            self.heavy = jnp.asarray(q)
+            self.heavy_scales = jnp.asarray(scales)
+        elif heavy_dtype == "bfloat16":
+            self.heavy = jnp.asarray(heavy_matrix, dtype=jnp.bfloat16)
+        else:
+            self.heavy = jnp.asarray(heavy_matrix)
         self.t_heavy_row = jnp.asarray(heavy_row)
         self.t_starts = jnp.asarray(starts)
         self.t_light_lens = jnp.asarray(light_lens)
@@ -236,7 +285,7 @@ class ResidentSparseIndex:
         return _resident_score_topk(
             self.heavy, self.t_heavy_row, self.t_starts, self.t_light_lens,
             self.post_docs, self.post_vals, self.dir_col,
-            term_ids, counts, dir_filter,
+            term_ids, counts, dir_filter, self.heavy_scales,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
         )
 
@@ -321,6 +370,7 @@ class ResidentSparseIndex:
             jnp.asarray(dir_f.reshape(n_batches, batch))
             if dir_f is not None
             else None,
+            self.heavy_scales,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
         )
         return tvs, tis, checksum, Q
@@ -361,16 +411,16 @@ def _dual_resident_score_topk(
     takes its own term ids (same tokens, per-index lookup). Only the
     content route takes the dir filter, matching the reference
     (the path route is unfiltered, ``pipeline.py:357-365``)."""
-    heavy1, hrow1, starts1, lens1, pdocs1, pvals1, dircol1 = args1
-    heavy2, hrow2, starts2, lens2, pdocs2, pvals2, _ = args2
+    heavy1, hrow1, starts1, lens1, pdocs1, pvals1, dircol1, hs1 = args1
+    heavy2, hrow2, starts2, lens2, pdocs2, pvals2, _, hs2 = args2
     tv1, ti1 = _resident_score_topk(
         heavy1, hrow1, starts1, lens1, pdocs1, pvals1, dircol1,
-        term_ids1, counts1, dir_filter,
+        term_ids1, counts1, dir_filter, hs1,
         k=k1, num_docs=num_docs, light_cap=light_cap1, P=P1,
     )
     tv2, ti2 = _resident_score_topk(
         heavy2, hrow2, starts2, lens2, pdocs2, pvals2, None,
-        term_ids2, counts2, None,
+        term_ids2, counts2, None, hs2,
         k=k2, num_docs=num_docs, light_cap=light_cap2, P=P2,
     )
     return tv1, ti1, tv2, ti2
@@ -388,7 +438,7 @@ class DualResidentScorer:
     def _args(self, r: "ResidentSparseIndex"):
         return (
             r.heavy, r.t_heavy_row, r.t_starts, r.t_light_lens,
-            r.post_docs, r.post_vals, r.dir_col,
+            r.post_docs, r.post_vals, r.dir_col, r.heavy_scales,
         )
 
     def score_topk(

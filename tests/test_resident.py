@@ -92,6 +92,44 @@ def test_stream_matches_per_batch(setup):
     np.testing.assert_array_equal(tv, ref_tv)
 
 
+@pytest.mark.parametrize("dtype,rtol,min_overlap", [
+    ("bfloat16", 6e-3, 9),
+    ("int8", 3e-2, 8),
+])
+def test_quantized_heavy_close_to_exact(setup, dtype, rtol, min_overlap):
+    """Opt-in compressed heavy matrices (2x / 4x HBM headroom for large
+    corpora) keep scores within quantization error and top-k membership
+    nearly intact; the light gather tail stays exact f32."""
+    corpus, index, exact, _ = setup
+    quant = ResidentSparseIndex(
+        index, light_cap=2, max_query_terms=16, heavy_dtype=dtype
+    )
+    queries = [["w3", "w14", "w15"], ["w0", "w5"], ["w9", "w9", "w1"]]
+    tv0, ti0 = exact.score_topk(queries, 10)
+    tv1, ti1 = quant.score_topk(queries, 10)
+    for row in range(len(queries)):
+        keep0 = {int(i) for i, v in zip(ti0[row], tv0[row]) if np.isfinite(v)}
+        keep1 = {int(i) for i, v in zip(ti1[row], tv1[row]) if np.isfinite(v)}
+        assert len(keep0 & keep1) >= min(min_overlap, len(keep0))
+        both = np.isfinite(tv0[row]) & np.isfinite(tv1[row])
+        np.testing.assert_allclose(tv1[row][both], tv0[row][both], rtol=rtol)
+    # dual-route and stream paths thread the scales too
+    tvs, tis = quant.stream_score_topk(queries, 10, batch=2)
+    np.testing.assert_array_equal(tis, ti1)
+
+
+def test_int8_auto_light_cap_gets_headroom(setup):
+    """At the same HBM budget the int8 heavy matrix admits a light_cap at
+    most that of f32 (4 bytes/entry -> 1)."""
+    _, index, _, _ = setup
+    budget = 40_000  # bytes; small enough to force the auto loop to move
+    f32 = ResidentSparseIndex(index, heavy_hbm_budget=budget)
+    i8 = ResidentSparseIndex(
+        index, heavy_hbm_budget=budget, heavy_dtype="int8"
+    )
+    assert i8.light_cap <= f32.light_cap
+
+
 def test_stream_checksum_is_device_scalar(setup):
     _, _, resident, _ = setup
     queries = [["w3"], ["w0", "w1"], ["w2"]]
