@@ -33,6 +33,12 @@ class TPUConfig:
     max_query_postings: int = 32768
     # query microbatch for batched retrieval
     query_batch: int = 32
+    # resident sparse heavy-matrix storage: float32 (exact, default) |
+    # bfloat16 (2x HBM headroom) | int8 (4x, per-doc-column scales)
+    sparse_heavy_dtype: str = "float32"
+    # HBM budget for the heavy matrix; smaller budgets raise the auto
+    # light_cap (more gather work), larger ones lower it (more MXU work)
+    sparse_heavy_hbm_budget: int = 512 * 1024 * 1024
 
 
 @dataclass

@@ -207,6 +207,8 @@ class EasyRAGPipeline:
             max_query_postings=cfg.tpu.max_query_postings,
             use_pallas=cfg.tpu.use_pallas,
             index=sparse_content_index,
+            heavy_dtype=cfg.tpu.sparse_heavy_dtype,
+            heavy_hbm_budget=cfg.tpu.sparse_heavy_hbm_budget,
         )
         if cfg.f_topk_3 != 0:
             self.path_retriever = BM25Retriever(
@@ -219,6 +221,8 @@ class EasyRAGPipeline:
                 max_query_postings=cfg.tpu.max_query_postings,
                 use_pallas=cfg.tpu.use_pallas,
                 index=sparse_path_index,
+                heavy_dtype=cfg.tpu.sparse_heavy_dtype,
+                heavy_hbm_budget=cfg.tpu.sparse_heavy_hbm_budget,
             )
         else:
             self.path_retriever = None

@@ -51,6 +51,8 @@ class BM25Retriever:
         index: Optional[SparseIndex] = None,
         resident: bool = True,
         max_query_terms: int = 64,
+        heavy_dtype: str = "float32",
+        heavy_hbm_budget: int = 512 * 1024 * 1024,
     ) -> None:
         self._nodes = nodes
         self._tokenizer = tokenizer
@@ -92,7 +94,10 @@ class BM25Retriever:
             from .ops.bm25_resident import ResidentSparseIndex
 
             self._resident = ResidentSparseIndex(
-                self.index, max_query_terms=max_query_terms
+                self.index,
+                max_query_terms=max_query_terms,
+                heavy_dtype=heavy_dtype,
+                heavy_hbm_budget=heavy_hbm_budget,
             )
 
     # -- scoring -------------------------------------------------------------

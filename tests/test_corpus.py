@@ -158,7 +158,8 @@ def test_config_roundtrip(tmp_path):
     assert cfg.f_topk_2 == 192 and cfg.r_topk == 6 and cfg.retrieval_type == 2
     yaml_path = tmp_path / "c.yaml"
     yaml_path.write_text(
-        "retrieval_type: 3\nf_topk: 128\nunknown_knob: 5\ntpu:\n  query_batch: 4\n",
+        "retrieval_type: 3\nf_topk: 128\nunknown_knob: 5\n"
+        "tpu:\n  query_batch: 4\n  sparse_heavy_dtype: int8\n",
         encoding="utf-8",
     )
     loaded = load_config(str(yaml_path), overrides={"re_only": True})
@@ -166,6 +167,7 @@ def test_config_roundtrip(tmp_path):
     assert loaded.f_topk == 128
     assert loaded.re_only is True
     assert loaded.tpu.query_batch == 4
+    assert loaded.tpu.sparse_heavy_dtype == "int8"
     assert loaded.extra == {"unknown_knob": 5}
 
 
