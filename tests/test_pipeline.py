@@ -399,3 +399,39 @@ def test_api_contract(tmp_path):
             await client.close()
 
     asyncio.get_event_loop().run_until_complete(drive())
+
+
+def test_webui_client_against_live_api(tmp_path):
+    """The WebUI's HTTP client (the fallback/streamlit-shared ``ask``)
+    round-trips against a live socket, including the 无 -> empty-document
+    mapping (reference ``webui.py:22-33``)."""
+    from aiohttp import web
+
+    from easyrag_tpu.serving.api import create_app
+    from easyrag_tpu.serving.webui import ask
+
+    pipeline = EasyRAGPipeline(_config(tmp_path))
+    app = create_app(pipeline)
+
+    async def drive():
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        await site.start()
+        port = site._server.sockets[0].getsockname()[1]
+        loop = asyncio.get_event_loop()
+        try:
+            res = await loop.run_in_executor(
+                None,
+                lambda: ask(
+                    "CDU虚机扩容的最大SC个数是多少？",
+                    "无",
+                    f"http://127.0.0.1:{port}/v1/rag",
+                ),
+            )
+            assert res["answer"] == ""
+            assert any("CDU" in c for c in res["contexts"])
+        finally:
+            await runner.cleanup()
+
+    asyncio.get_event_loop().run_until_complete(drive())
