@@ -463,3 +463,76 @@ class DualResidentScorer:
         # trip on remote-attached devices
         tv1, ti1, tv2, ti2 = jax.device_get((tv1, ti1, tv2, ti2))
         return (tv1, ti1), (tv2, ti2)
+
+    def stream_score_topk(
+        self,
+        query_tokens_batch,
+        k_content: int,
+        k_path: int,
+        dir_fs,
+        batch: int = 64,
+    ):
+        """Both routes of the WHOLE query stream in ONE compiled dispatch
+        (64-query batches scanned on device) plus one bulk fetch — the
+        batch-eval shape of the reference's default dual-route operating
+        point. Same results as :meth:`score_topk`, padding stripped."""
+        Q = len(query_tokens_batch)
+        n_batches = (Q + batch - 1) // batch
+        padded = list(query_tokens_batch) + [[]] * (n_batches * batch - Q)
+        dir_fs = np.concatenate(
+            [
+                np.asarray(dir_fs, dtype=np.int32),
+                np.full(n_batches * batch - Q, -1, np.int32),
+            ]
+        )
+        prep1 = [self.content.query_terms(q) for q in padded]
+        prep2 = [self.path.query_terms(q) for q in padded]
+
+        def pack(prep, j):
+            return jnp.asarray(
+                np.stack([p[j] for p in prep]).reshape(n_batches, batch, -1)
+            )
+
+        tv1, ti1, tv2, ti2 = _dual_resident_score_topk_stream(
+            self._args(self.content), self._args(self.path),
+            pack(prep1, 0), pack(prep1, 1), pack(prep2, 0), pack(prep2, 1),
+            jnp.asarray(dir_fs.reshape(n_batches, batch)),
+            k1=k_content, k2=k_path, num_docs=self.content.num_docs,
+            light_cap1=self.content.light_cap, light_cap2=self.path.light_cap,
+            P1=self.content.P, P2=self.path.P,
+        )
+        tv1, ti1, tv2, ti2 = jax.device_get((tv1, ti1, tv2, ti2))
+
+        def strip(a):
+            return a.reshape(-1, a.shape[-1])[:Q]
+
+        return (strip(tv1), strip(ti1)), (strip(tv2), strip(ti2))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2"
+    ),
+)
+def _dual_resident_score_topk_stream(
+    args1, args2, term_ids1, counts1, term_ids2, counts2, dir_filter,
+    *, k1: int, k2: int, num_docs: int,
+    light_cap1: int, light_cap2: int, P1: int, P2: int,
+):
+    """Scan-over-batches form of :func:`_dual_resident_score_topk`:
+    ``term_ids*/counts*`` are ``[NB, B, T]``, ``dir_filter`` ``[NB, B]``."""
+
+    def step(_, inp):
+        i1, c1, i2, c2, df = inp
+        tv1, ti1, tv2, ti2 = _dual_resident_score_topk(
+            args1, args2, i1, c1, i2, c2, df,
+            k1=k1, k2=k2, num_docs=num_docs,
+            light_cap1=light_cap1, light_cap2=light_cap2, P1=P1, P2=P2,
+        )
+        return 0, (tv1, ti1, tv2, ti2)
+
+    _, outs = jax.lax.scan(
+        step, 0, (term_ids1, counts1, term_ids2, counts2, dir_filter)
+    )
+    return outs

@@ -416,10 +416,20 @@ class EasyRAGPipeline:
         bundles = [QueryBundle(query_str=q["query"]) for q in queries]
         filter_dicts = [self.build_filters(q)[1] for q in queries]
         with trace("retrieval_batch"):
-            content_lists = self.sparse_retriever.retrieve_batch(bundles, filter_dicts)
-            if self.path_retriever is not None:
+            lists = None
+            if self._dual_scorer is not None and self.path_retriever is not None:
+                lists = self._dual_retrieve_stream(bundles, filter_dicts)
+            if lists is not None:
+                content_lists, path_lists = lists
+            elif self.path_retriever is not None:
+                content_lists = self.sparse_retriever.retrieve_batch(
+                    bundles, filter_dicts
+                )
                 path_lists = self.path_retriever.retrieve_batch(bundles)
             else:
+                content_lists = self.sparse_retriever.retrieve_batch(
+                    bundles, filter_dicts
+                )
                 path_lists = [[] for _ in queries]
         out = []
         for content_nodes, path_nodes in zip(content_lists, path_lists):
@@ -467,6 +477,60 @@ class EasyRAGPipeline:
         # BM25Retriever.retrieve)
         content_allow = not (dir_f == -2 and sparse._resident.dir_col is None)
         return to_nodes(tv1, ti1, content_allow), to_nodes(tv2, ti2, True)
+
+    def _dual_retrieve_stream(self, bundles, filter_dicts):
+        """Both routes of a whole query batch in ONE compiled dispatch
+        (scan over fixed 64-query batches) — the batch-eval form of
+        :meth:`_dual_retrieve`, with identical per-row semantics: content
+        route takes the dir filter, path route is unfiltered; term-budget
+        overflow rows fall back to per-query retrieval."""
+        import numpy as np
+
+        sparse, path = self.sparse_retriever, self.path_retriever
+        tokens = [sparse._tokenize_query(qb.query_str) for qb in bundles]
+        dir_fs, valid, overflow = [], [], []
+        for i, toks in enumerate(tokens):
+            fd = filter_dicts[i] if filter_dicts else None
+            if fd is None or fd.get("dir") is None:
+                dir_fs.append(-1)
+            else:
+                dir_fs.append(sparse.index.dir_vocab.get(fd["dir"], -2))
+            try:
+                sparse._resident.query_terms(toks)
+                path._resident.query_terms(toks)
+                valid.append(i)
+            except ValueError:
+                overflow.append(i)
+
+        def to_nodes(tv_row, ti_row):
+            out = []
+            for v, j in zip(tv_row, ti_row):
+                if not np.isfinite(v):
+                    break
+                out.append(NodeWithScore(node=self.nodes[int(j)], score=float(v)))
+            return out
+
+        content_lists = [[] for _ in bundles]
+        path_lists = [[] for _ in bundles]
+        if valid:
+            (tv1, ti1), (tv2, ti2) = self._dual_scorer.stream_score_topk(
+                [tokens[i] for i in valid],
+                sparse._similarity_top_k,
+                path._similarity_top_k,
+                [dir_fs[i] for i in valid],
+            )
+            no_dir_col = sparse._resident.dir_col is None
+            for row, i in enumerate(valid):
+                if not (dir_fs[i] == -2 and no_dir_col):
+                    content_lists[i] = to_nodes(tv1[row], ti1[row])
+                path_lists[i] = to_nodes(tv2[row], ti2[row])
+        saved = sparse.filter_dict
+        for i in overflow:
+            sparse.filter_dict = filter_dicts[i] if filter_dicts else None
+            content_lists[i] = sparse.retrieve(bundles[i])
+            path_lists[i] = path.retrieve(bundles[i])
+        sparse.filter_dict = saved
+        return content_lists, path_lists
 
     async def generation_with_knowledge_retrieval(
         self, query_str: str, hyde_query: str = ""

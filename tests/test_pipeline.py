@@ -345,12 +345,16 @@ def test_retrieval_batch_matches_per_query(tmp_path):
     cfg = _config(tmp_path)
     cfg.tpu.use_pallas = False
     pipeline = EasyRAGPipeline(cfg)
-    queries = [
+    base = [
         {"query": "CDU虚机扩容的最大SC个数是多少？"},
         {"query": "鉴权失败如何处理？", "document": "umac"},
         {"query": "备份"},
         {"query": "完全无关的查询词组xyzq"},
+        {"query": "备份", "document": "不存在的目录"},  # never-match filter
     ]
+    # >64 rows so the dual-route STREAM path (scan + tail padding) runs
+    queries = [dict(base[i % len(base)]) for i in range(67)]
+    assert pipeline._dual_scorer is not None
     batched = asyncio.get_event_loop().run_until_complete(
         pipeline.run_retrieval_batch([dict(q) for q in queries])
     )
