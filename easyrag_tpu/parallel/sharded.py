@@ -352,6 +352,59 @@ class ShardedResidentSparseIndex:
         tv, ti = self._score_topk(jnp.asarray(ids), jnp.asarray(cnts), k, dir_f)
         return np.asarray(tv), np.asarray(ti)
 
+    @functools.partial(jax.jit, static_argnames=("self", "k"))
+    def _stream_impl(
+        self, heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
+        dir_col, term_ids, counts, k: int, dir_filter=None,
+    ):
+        """Scan-over-batches form of :meth:`_score_topk_impl` — the whole
+        query stream in one dispatch, mirroring the single-chip
+        ``_resident_score_topk_stream``. ``term_ids``/``counts`` are
+        ``[NB, B, T]``, ``dir_filter`` ``[NB, B]`` or None."""
+
+        def step(_, inp):
+            ids, cnts, *df = inp
+            tv, ti = self._score_topk_impl(
+                heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
+                dir_col, ids, cnts, k, df[0] if df else None,
+            )
+            return 0, (tv, ti)
+
+        xs = (term_ids, counts)
+        if dir_filter is not None:
+            xs = xs + (dir_filter,)
+        _, (tvs, tis) = jax.lax.scan(step, 0, xs)
+        return tvs, tis, tis.sum()
+
+    def stream_score_topk(
+        self, queries_tokens, k: int, batch: int = 64, dir_values=None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Whole query set in one compiled dispatch over the mesh; results
+        identical to :meth:`score_topk`, tail padding stripped."""
+        Q = len(queries_tokens)
+        n_batches = (Q + batch - 1) // batch
+        padded = list(queries_tokens) + [[]] * (n_batches * batch - Q)
+        prep = [self.query_terms(q) for q in padded]
+        ids = np.stack([p[0] for p in prep]).reshape(n_batches, batch, -1)
+        cnts = np.stack([p[1] for p in prep]).reshape(n_batches, batch, -1)
+        dir_f = None
+        if dir_values is not None and self.dir_col is not None:
+            dvals = list(dir_values) + [None] * (n_batches * batch - Q)
+            dir_f = jnp.asarray(
+                np.array(
+                    [self.dir_vocab.get(d, -2) if d else -1 for d in dvals],
+                    dtype=np.int32,
+                ).reshape(n_batches, batch)
+            )
+        tvs, tis, _ = self._stream_impl(
+            self.heavy, self.t_starts, self.t_lens, self.post_docs,
+            self.post_vals, self.t_heavy_row, self.dir_col,
+            jnp.asarray(ids), jnp.asarray(cnts), k, dir_f,
+        )
+        tvs, tis = jax.device_get((tvs, tis))
+        kk = tvs.shape[-1]
+        return tvs.reshape(-1, kk)[:Q], tis.reshape(-1, kk)[:Q]
+
 
 class ShardedSparseScorer:
     """Doc-range-sharded BM25 scoring (gathered-postings form).

@@ -91,6 +91,23 @@ def test_sharded_resident_matches_single_chip(mesh):
         assert not np.isfinite(mv[row][~finite]).any()
 
 
+def test_sharded_stream_matches_per_batch(mesh):
+    """The sharded one-dispatch stream (scan around the shard_map) equals
+    the sharded per-batch path, including dir filters and tail padding."""
+    from easyrag_tpu.parallel.sharded import ShardedResidentSparseIndex
+
+    corpus = synthetic_corpus(num_docs=101, vocab=70, seed=6)
+    dirs = [f"d{i % 3}" for i in range(len(corpus))]
+    index = build_sparse_index(corpus, bm25_type=0, dirs=dirs)
+    sharded = ShardedResidentSparseIndex(mesh, index, light_cap=16, max_query_terms=16)
+    queries = [["w3", "w14"], ["w1", "w2"], ["w0"], ["w9", "w9"], ["w5"]]
+    dvals = ["d1", None, "zzz", None, "d2"]
+    rv, ri = sharded.score_topk(queries, 9, dir_values=dvals)
+    tv, ti = sharded.stream_score_topk(queries, 9, batch=2, dir_values=dvals)
+    np.testing.assert_array_equal(ti, ri)
+    np.testing.assert_array_equal(tv, rv)
+
+
 def test_sharded_dir_filters_match_single_chip(mesh):
     from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
     from easyrag_tpu.parallel.sharded import (
