@@ -38,7 +38,7 @@ NEG_INF = jnp.float32(-jnp.inf)
 def _resident_score_topk_impl(
     heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals, dir_col,
     term_ids, counts, dir_filter, heavy_scales=None,
-    *, k: int, num_docs: int, light_cap: int, P: int,
+    *, k: int, num_docs: int, light_cap: int, P: int, tail: str = "xla",
 ):
     B, T = term_ids.shape
     N, C = num_docs, light_cap
@@ -89,10 +89,23 @@ def _resident_score_topk_impl(
     pos = jnp.where(valid, starts[:, :, None] + win, P)  # sentinel slot
     docs = post_docs[pos]  # [B, T, C]; sentinel -> N
     vals = post_vals[pos] * counts[:, :, None]
-    b_idx3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, T, C))
-    scores = scores.at[b_idx3.reshape(B, -1), docs.reshape(B, -1)].add(
-        vals.reshape(B, -1), mode="drop"
-    )
+    if tail in ("pallas", "pallas_interpret"):
+        # one-hot-matmul accumulation (MXU) instead of XLA scatter-add —
+        # measured 2.3x faster at [64, 2048] -> [64, 20000]; sentinel slots
+        # carry val 0 so they add nothing (``ops/bm25_pallas.py`` contract)
+        from .bm25_pallas import bm25_scores_pallas
+
+        scores = scores + bm25_scores_pallas(
+            docs.reshape(B, -1),
+            vals.reshape(B, -1),
+            num_docs=N,
+            interpret=tail == "pallas_interpret",
+        )
+    else:
+        b_idx3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, T, C))
+        scores = scores.at[b_idx3.reshape(B, -1), docs.reshape(B, -1)].add(
+            vals.reshape(B, -1), mode="drop"
+        )
 
     if dir_col is not None and dir_filter is not None:
         # -1 disables filtering; -2 (unknown dir) matches nothing
@@ -108,17 +121,17 @@ def _resident_score_topk_impl(
 
 
 _resident_score_topk = functools.partial(
-    jax.jit, static_argnames=("k", "num_docs", "light_cap", "P")
+    jax.jit, static_argnames=("k", "num_docs", "light_cap", "P", "tail")
 )(_resident_score_topk_impl)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "num_docs", "light_cap", "P")
+    jax.jit, static_argnames=("k", "num_docs", "light_cap", "P", "tail")
 )
 def _resident_score_topk_stream(
     heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals, dir_col,
     term_ids, counts, dir_filter, heavy_scales=None,
-    *, k: int, num_docs: int, light_cap: int, P: int,
+    *, k: int, num_docs: int, light_cap: int, P: int, tail: str = "xla",
 ):
     """Score a whole query STREAM in one compiled dispatch.
 
@@ -139,7 +152,7 @@ def _resident_score_topk_stream(
         tv, ti = _resident_score_topk_impl(
             heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals,
             dir_col, ids, cnts, dirf, heavy_scales,
-            k=k, num_docs=num_docs, light_cap=light_cap, P=P,
+            k=k, num_docs=num_docs, light_cap=light_cap, P=P, tail=tail,
         )
         return 0, (tv, ti)
 
@@ -158,8 +171,14 @@ class ResidentSparseIndex:
         max_query_terms: int = 64,
         heavy_hbm_budget: int = 512 * 1024 * 1024,
         heavy_dtype: str = "float32",
+        tail: Optional[str] = None,
     ) -> None:
-        """``heavy_dtype`` trades exactness for HBM headroom on large
+        """``tail`` selects the light-postings accumulator: ``"xla"``
+        (scatter-add, default), ``"pallas"`` (one-hot-matmul MXU kernel,
+        measured 2.3x faster — TPU only), or ``"pallas_interpret"`` (the
+        same kernel in interpreter mode, for CPU tests).
+
+        ``heavy_dtype`` trades exactness for HBM headroom on large
         corpora: ``float32`` (default) is exact vs the host oracle;
         ``bfloat16`` halves the heavy matrix (stored postings round to 8
         mantissa bits, ~0.4% score error); ``int8`` quarters it (per-doc-
@@ -168,6 +187,9 @@ class ResidentSparseIndex:
         the slow gather tail to the fast dense matmul."""
         if heavy_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(f"unsupported heavy_dtype {heavy_dtype!r}")
+        if tail not in (None, "xla", "pallas", "pallas_interpret"):
+            raise ValueError(f"unsupported tail {tail!r}")
+        self.tail = tail or "xla"
         self.host_index = index
         self.num_docs = index.num_docs
         self.max_query_terms = max_query_terms
@@ -287,6 +309,7 @@ class ResidentSparseIndex:
             self.post_docs, self.post_vals, self.dir_col,
             term_ids, counts, dir_filter, self.heavy_scales,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
+            tail=self.tail,
         )
 
     def score_topk(
@@ -372,6 +395,7 @@ class ResidentSparseIndex:
             else None,
             self.heavy_scales,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
+            tail=self.tail,
         )
         return tvs, tis, checksum, Q
 
@@ -396,13 +420,15 @@ class ResidentSparseIndex:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2"
+        "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2",
+        "tail1", "tail2",
     ),
 )
 def _dual_resident_score_topk(
     args1, args2, term_ids1, counts1, term_ids2, counts2, dir_filter,
     *, k1: int, k2: int, num_docs: int,
     light_cap1: int, light_cap2: int, P1: int, P2: int,
+    tail1: str = "xla", tail2: str = "xla",
 ):
     """Score one query batch against two resident indexes (the content and
     know-path routes of the dual-route retrieval) in one compiled step —
@@ -416,12 +442,12 @@ def _dual_resident_score_topk(
     tv1, ti1 = _resident_score_topk(
         heavy1, hrow1, starts1, lens1, pdocs1, pvals1, dircol1,
         term_ids1, counts1, dir_filter, hs1,
-        k=k1, num_docs=num_docs, light_cap=light_cap1, P=P1,
+        k=k1, num_docs=num_docs, light_cap=light_cap1, P=P1, tail=tail1,
     )
     tv2, ti2 = _resident_score_topk(
         heavy2, hrow2, starts2, lens2, pdocs2, pvals2, None,
         term_ids2, counts2, None, hs2,
-        k=k2, num_docs=num_docs, light_cap=light_cap2, P=P2,
+        k=k2, num_docs=num_docs, light_cap=light_cap2, P=P2, tail=tail2,
     )
     return tv1, ti1, tv2, ti2
 
@@ -458,6 +484,7 @@ class DualResidentScorer:
             k1=k_content, k2=k_path, num_docs=self.content.num_docs,
             light_cap1=self.content.light_cap, light_cap2=self.path.light_cap,
             P1=self.content.P, P2=self.path.P,
+            tail1=self.content.tail, tail2=self.path.tail,
         )
         # one bulk fetch: separate np.asarray calls each pay a host round
         # trip on remote-attached devices
@@ -500,6 +527,7 @@ class DualResidentScorer:
             k1=k_content, k2=k_path, num_docs=self.content.num_docs,
             light_cap1=self.content.light_cap, light_cap2=self.path.light_cap,
             P1=self.content.P, P2=self.path.P,
+            tail1=self.content.tail, tail2=self.path.tail,
         )
         tv1, ti1, tv2, ti2 = jax.device_get((tv1, ti1, tv2, ti2))
 
@@ -512,13 +540,15 @@ class DualResidentScorer:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2"
+        "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2",
+        "tail1", "tail2",
     ),
 )
 def _dual_resident_score_topk_stream(
     args1, args2, term_ids1, counts1, term_ids2, counts2, dir_filter,
     *, k1: int, k2: int, num_docs: int,
     light_cap1: int, light_cap2: int, P1: int, P2: int,
+    tail1: str = "xla", tail2: str = "xla",
 ):
     """Scan-over-batches form of :func:`_dual_resident_score_topk`:
     ``term_ids*/counts*`` are ``[NB, B, T]``, ``dir_filter`` ``[NB, B]``."""
@@ -529,6 +559,7 @@ def _dual_resident_score_topk_stream(
             args1, args2, i1, c1, i2, c2, df,
             k1=k1, k2=k2, num_docs=num_docs,
             light_cap1=light_cap1, light_cap2=light_cap2, P1=P1, P2=P2,
+            tail1=tail1, tail2=tail2,
         )
         return 0, (tv1, ti1, tv2, ti2)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from collections import defaultdict
 from typing import Dict, List, Optional, Sequence  # noqa: F401 (Sequence used in batch API)
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,6 +94,12 @@ class BM25Retriever:
         if use_device and resident:
             from .ops.bm25_resident import ResidentSparseIndex
 
+            # NOTE: the Pallas one-hot tail (tail="pallas") is deliberately
+            # NOT selected by use_pallas: measured 2.8x SLOWER than the XLA
+            # scatter at the default operating point, where most query terms
+            # are heavy and the gathered tail is mostly sentinel no-ops the
+            # scatter drops for free while the one-hot matmul pays its fixed
+            # 2*P*N cost regardless (see BASELINE.md negative results).
             self._resident = ResidentSparseIndex(
                 self.index,
                 max_query_terms=max_query_terms,

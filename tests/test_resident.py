@@ -92,6 +92,21 @@ def test_stream_matches_per_batch(setup):
     np.testing.assert_array_equal(tv, ref_tv)
 
 
+def test_pallas_tail_matches_xla(setup):
+    """The one-hot-matmul light tail (interpret mode on CPU) ranks exactly
+    like the XLA scatter-add tail; scores agree to f32 summation order."""
+    _, index, exact, _ = setup
+    pallas = ResidentSparseIndex(
+        index, light_cap=32, max_query_terms=16, tail="pallas_interpret"
+    )
+    queries = [["w3", "w14", "w15"], ["w0"], ["w9", "w9", "w1"], []]
+    tv0, ti0 = exact.score_topk(queries, 12)
+    tv1, ti1 = pallas.score_topk(queries, 12)
+    np.testing.assert_array_equal(ti1, ti0)
+    both = np.isfinite(tv0)
+    np.testing.assert_allclose(tv1[both], tv0[both], rtol=1e-6)
+
+
 @pytest.mark.parametrize("dtype,rtol,min_overlap", [
     ("bfloat16", 6e-3, 9),
     ("int8", 3e-2, 8),
