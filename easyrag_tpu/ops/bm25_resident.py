@@ -200,11 +200,14 @@ class ResidentSparseIndex:
         lens = np.diff(offs).astype(np.int32)
         V = len(lens)
         if light_cap is None:
-            # auto: the dense heavy matmul dominates the gather path
-            # (measured 3.7ms vs 24ms per batch at cap 128 vs 2048 on 20k
-            # docs), so pick the smallest cap whose heavy matrix fits the
-            # HBM budget
-            light_cap = 128
+            # auto: the dense heavy matmul beats the gather tail (measured
+            # 3.7ms vs 24ms per batch at cap 128 vs 2048 on 20k docs), so
+            # pick the smallest cap whose heavy matrix fits the HBM budget.
+            # Floor 16: below that the matmul's own HBM streaming starts to
+            # lose (measured qps at 20k docs: cap 16 -> 7.3k, 32 -> 8.6k,
+            # 64 -> 9.4k, 128 -> 8.3k), so very large budgets should not
+            # push the cap arbitrarily low.
+            light_cap = 16
             while light_cap < index.num_docs:
                 n_heavy = int((lens > light_cap).sum())
                 if n_heavy * index.num_docs * itemsize <= heavy_hbm_budget:

@@ -80,9 +80,14 @@ def test_term_budget_overflow_falls_back_identically(corpus_nodes):
         use_pallas=False, max_query_terms=64,
     )
     query = "虚机扩容备份鉴权巡检升级配置日志网络存储"  # many distinct terms
-    a = [(id(n.node), round(n.score, 8)) for n in small.retrieve(QueryBundle(query_str=query))]
-    b = [(id(n.node), round(n.score, 8)) for n in big.retrieve(QueryBundle(query_str=query))]
-    assert a == b and a
+    a = small.retrieve(QueryBundle(query_str=query))
+    b = big.retrieve(QueryBundle(query_str=query))
+    # identical ranking; scores agree to f32 summation order (the resident
+    # heavy/light split sums in a different order than the gather path)
+    assert a and [id(n.node) for n in a] == [id(n.node) for n in b]
+    np.testing.assert_allclose(
+        [n.score for n in a], [n.score for n in b], rtol=1e-6
+    )
     # batched form with one overflowing row also matches per-query results
     bundles = [QueryBundle(query_str=query), QueryBundle(query_str="备份恢复")]
     batch = small.retrieve_batch(bundles)
