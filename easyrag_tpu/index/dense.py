@@ -84,6 +84,34 @@ def dense_score_topk(
     return topk_desc_reference_order(scores, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def dense_score_topk_stream(
+    query: jnp.ndarray,  # [NB, B, D] (normalized query batches)
+    matrix: jnp.ndarray,
+    k: int,
+    dir_col: Optional[jnp.ndarray] = None,
+    dir_filter: Optional[jnp.ndarray] = None,  # [NB, B] int32
+    scales: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Whole query stream in one compiled dispatch (batches lax.scan-ed on
+    device) — the dense mirror of the sparse stream scorer; removes the
+    per-batch host round trip that dominates batch eval on remote-attached
+    chips. Returns stacked ``(scores [NB,B,k], idx [NB,B,k], checksum)``;
+    the checksum is the 4-byte completion barrier."""
+
+    def step(_, inp):
+        q, *df = inp
+        tv, ti = dense_score_topk(
+            q, matrix, k, dir_col=dir_col,
+            dir_filter=df[0] if df else None, scales=scales,
+        )
+        return 0, (tv, ti)
+
+    xs = (query,) if dir_filter is None else (query, dir_filter)
+    _, (tvs, tis) = jax.lax.scan(step, 0, xs)
+    return tvs, tis, tis.sum()
+
+
 def l2_normalize(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     norms = np.linalg.norm(x, axis=-1, keepdims=True)
     return x / np.maximum(norms, eps)
@@ -154,6 +182,38 @@ class DenseIndex:
             scales=self.scales,
         )
         return np.asarray(vals), np.asarray(idx)
+
+    def query_stream(
+        self,
+        query_embs: np.ndarray,  # [Q, D]
+        k: int,
+        dir_values: Optional[list] = None,  # per-row dir names (or None)
+        batch: int = 64,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Whole query set in one compiled dispatch; results identical to
+        row-wise :meth:`query`, tail padding stripped."""
+        q = l2_normalize(np.atleast_2d(np.asarray(query_embs, np.float32)))
+        Q = q.shape[0]
+        n_batches = (Q + batch - 1) // batch
+        pad = n_batches * batch - Q
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
+        dir_col = jnp.asarray(self.dir_ids) if self.dir_ids is not None else None
+        dir_f = None
+        if dir_col is not None:
+            dvals = list(dir_values or [None] * Q) + [None] * pad
+            dir_f = jnp.asarray(
+                np.array(
+                    [self.dir_vocab.get(d, -2) if d else -1 for d in dvals],
+                    dtype=np.int32,
+                ).reshape(n_batches, batch)
+            )
+        tvs, tis, _ = dense_score_topk_stream(
+            jnp.asarray(q.reshape(n_batches, batch, -1)), self.matrix, k,
+            dir_col=dir_col, dir_filter=dir_f, scales=self.scales,
+        )
+        tvs, tis = jax.device_get((tvs, tis))
+        return tvs.reshape(-1, k)[:Q], tis.reshape(-1, k)[:Q]
 
     # -- on-disk artifact ----------------------------------------------------
 

@@ -167,8 +167,9 @@ class ShardedResidentSparseIndex:
         V = len(lens)
         self.V = V
         if light_cap is None:
-            # same auto policy as single-chip, budget is per shard
-            light_cap = 128
+            # same auto policy as single-chip (floor 16 — see the measured
+            # qps-vs-cap curve in ops/bm25_resident.py), budget is per shard
+            light_cap = 16
             while light_cap < self.shard_size:
                 n_heavy = int((lens > light_cap).sum())
                 if n_heavy * self.shard_size * 4 <= heavy_hbm_budget:

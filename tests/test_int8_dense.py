@@ -46,3 +46,24 @@ def test_int8_artifact_roundtrip(tmp_path):
     np.testing.assert_array_equal(x1, x2)
     np.testing.assert_allclose(v1, v2, rtol=1e-6)
     assert loaded.dir_vocab == {"a": 0}
+
+
+def test_dense_stream_matches_row_wise():
+    """query_stream (one-dispatch scan) equals per-row query(), including
+    per-row dir filters and tail padding, on both f32 and int8 indexes."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    matrix = rng.normal(size=(90, 24)).astype(np.float32)
+    dirs = [f"d{i % 3}" for i in range(90)]
+    qs = rng.normal(size=(5, 24)).astype(np.float32)
+    dvals = ["d1", None, "zzz", "d0", None]
+    for dtype in ("float32", "int8"):
+        idx = DenseIndex.build(matrix, dirs=dirs, dtype=dtype)
+        sv, si = idx.query_stream(qs, 7, dir_values=dvals, batch=2)
+        for row in range(5):
+            rv, ri = idx.query(qs[row], 7, dir_value=dvals[row])
+            np.testing.assert_array_equal(si[row], ri[0])
+            # scores to f32 tolerance: the batched matmul tiles (and thus
+            # accumulates) differently than the single-row one
+            np.testing.assert_allclose(sv[row], rv[0], rtol=1e-6)
