@@ -51,6 +51,10 @@ class DecoderConfig:
     # use the Pallas flash-attention kernel (TPU only; requires seq % 128
     # == 0 and no logit softcap — falls back to the einsum path otherwise)
     use_flash: bool = False
+    # flash block sizes (block_q, block_k); None -> per-head_dim defaults
+    # (measured on v5e, tools/bench_attn64.py): head_dim%128 -> kernel
+    # defaults; head_dim 64 -> (384, seq) when seq%384==0 else (128, 128)
+    flash_blocks: Optional[Tuple[int, int]] = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -135,20 +139,35 @@ def attention(
         cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar else hd ** -0.5
     )
 
-    # flash applicability (all measured, see BASELINE.md): head_dim 128
-    # models run well at default block sizes from seq 128; head_dim 64
-    # models need 512-blocks and seq % 512 (smaller blocks pad the 64-wide
-    # heads badly — default blocks measured 17x SLOWER than einsum, tuned
-    # 512-blocks ~1.9x faster)
+    # flash applicability (all measured, see BASELINE.md / tools/bench_attn64*):
+    # head_dim 128 models run well at default block sizes from seq 128;
+    # head_dim 64 models want LARGE blocks — on v5e at B32xH36xS1152:
+    # blocks 128 -> 37 ms/op, 384x1152 -> 9.9 ms/op, einsum -> 21 ms/op.
     flash_ok = (
         cfg.use_flash
         and mask is not None
         and not cfg.attn_logit_softcapping
-        and (
-            (hd % 128 == 0 and s % 128 == 0)
-            or (hd % 64 == 0 and s % 512 == 0)
-        )
+        and hd % 64 == 0
+        and s % 128 == 0
     )
+    if flash_ok and hd == 64 and nh % 2 == 0 and nkv == nh:
+        # custom head_dim-64 kernel (ops/flash64.py): head pairs packed in
+        # the lane dimension straight from the [B,S,H*64] hidden layout —
+        # no transposes; 6.3 ms/op vs stock flash's 9.9 at the reranker
+        # shape. Requires a left-pad mask, which is the only padding
+        # convention of the head_dim-64 model family here (the MiniCPM
+        # reranker, minicpm.py::build_inputs).
+        from easyrag_tpu.ops.flash64 import flash64_attention
+
+        out = flash64_attention(
+            q.reshape(b, s, nh * hd),
+            k.reshape(b, s, nh * hd),
+            v.reshape(b, s, nh * hd),
+            mask,
+            sm_scale=scale,
+        )
+        return _linear(out.astype(x.dtype), params["o"])
+
     if flash_ok:
         # Pallas flash attention: the (S, S) scores tile never touches HBM.
         # Padding rides the segment-id mask (pad tokens get id 0, real id 1,
@@ -160,14 +179,23 @@ def attention(
             flash_attention,
         )
 
+        blocks = cfg.flash_blocks
+        if blocks is None and hd % 128 != 0:
+            # head_dim-64 default: widest k block; q block 384 when it
+            # divides seq (measured optimum), else the largest 128-multiple
+            # divisor of seq up to 512.
+            bq = 384 if s % 384 == 0 else max(
+                b for b in (512, 256, 128) if s % b == 0
+            )
+            blocks = (bq, s)
         block_sizes = None
-        if hd % 128 != 0:  # head_dim 64 family: force 512 blocks
-            blk = 512
+        if blocks is not None:
+            bq, bk = min(blocks[0], s), min(blocks[1], s)
             block_sizes = BlockSizes(
-                block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-                block_q_major_dkv=blk, block_k_major_dkv=blk,
-                block_k_dkv=blk, block_q_dkv=blk,
-                block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
             )
         seg = mask.astype(jnp.int32)
         out = flash_attention(

@@ -179,10 +179,11 @@ class MiniCPMLayerWiseReranker:
         max_len = max(len(r) for r in rows)
         # the reference pads to a multiple of 8 (rerankers.py:290); we pad to
         # a bounded set of compile buckets (extra padding is masked out and,
-        # with left padding, the scored last position stays real). Flash
-        # attention at head_dim 64 needs 512-multiples; einsum uses 128.
-        cfg = getattr(self, "cfg", None)
-        bucket = 512 if (cfg is not None and cfg.use_flash) else 128
+        # with left padding, the scored last position stays real). 128 covers
+        # both the einsum path and flash (which as of round 2 accepts any
+        # seq % 128 == 0 at head_dim 64 — the old 512-bucket wasted 44% of
+        # the model's FLOPs on pad tokens at the typical 1064-token batch).
+        bucket = 128
         max_len = max(((max_len + bucket - 1) // bucket) * bucket, bucket)
         pad_id = tk.pad_token_id if tk.pad_token_id is not None else 0
         ids = np.full((len(rows), max_len), pad_id, dtype=np.int32)

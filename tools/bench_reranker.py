@@ -1,0 +1,92 @@
+"""Full-model reranker batch timing at MiniCPM-2B scale (the pipeline's
+dominant stage; VERDICT round-2 item #2: target < 0.8 s / 32x1064-pair batch
+at cutoff 28).
+
+True bge-reranker-v2-minicpm-layerwise architecture (hidden 2304, 36x64
+heads, inter 5760, mup scalings), random weights generated ON DEVICE
+(uploads crawl through the axon tunnel), honest checksum barriers.
+
+Run: python tools/bench_reranker.py [--seqs 1152,1536] [--iters 3]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK = 197e12  # v5e bf16
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--layers", type=int, default=28)
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from easyrag_tpu.models.layers import DecoderConfig, init_params
+    from easyrag_tpu.models.minicpm import _segment
+
+    B, L = args.batch, args.layers
+    real_len = 1064  # the reference's typical padded-x8 pair length
+
+    def cfg_for(use_flash, blocks=None):
+        return DecoderConfig(
+            vocab_size=512,  # embed unused; _segment starts from hidden
+            hidden_size=2304, intermediate_size=5760,
+            num_hidden_layers=L, num_attention_heads=36,
+            num_key_value_heads=36, scale_emb=12.0, scale_depth=1.4,
+            dim_model_base=256.0, use_flash=use_flash, flash_blocks=blocks,
+            dtype=jnp.bfloat16,
+        )
+
+    def useful_flops(S):
+        dense = 2 * (4 * 2304 * 2304 + 3 * 2304 * 5760) * B * S * L
+        attn = 4 * B * 36 * S * S * 64 * L // 2  # causal
+        return dense + attn
+
+    base_params = init_params(cfg_for(False), jax.random.key(0))
+
+    def bench(name, cfg, S):
+        hidden = jax.random.normal(jax.random.key(1), (B, S, 2304), jnp.bfloat16)
+        mask = np.ones((B, S), np.int32)
+        mask[:, : S - real_len] = 0
+        mask = jnp.asarray(mask)
+
+        def run():
+            h = _segment(cfg, base_params, hidden, mask, 0, L)
+            return float(h.astype(jnp.float32).sum())  # checksum barrier
+
+        run()  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            run()
+        per = (time.perf_counter() - t0) / args.iters
+        uf = useful_flops(real_len)  # MFU vs the UNPADDED workload
+        print(f"{name}: {per*1000:.0f} ms/batch  "
+              f"({uf/per/1e12:.0f} TFLOP/s useful, {uf/per/PEAK*100:.0f}% MFU, "
+              f"padded-workload {useful_flops(S)/per/PEAK*100:.0f}%)",
+              flush=True)
+        return per
+
+    results = {}
+    results["einsum S=1152"] = bench("einsum S=1152", cfg_for(False), 1152)
+    results["flash S=1152 (384xS)"] = bench(
+        "flash S=1152 blocks(384,1152)", cfg_for(True), 1152)
+    results["flash S=1536 b512 (r1 config)"] = bench(
+        "flash S=1536 blocks(512,512)", cfg_for(True, (512, 512)), 1536)
+
+    best = min(results.values())
+    print(f"\nbest: {best*1000:.0f} ms/batch "
+          f"({'MEETS' if best < 0.8 else 'misses'} the <800 ms target)")
+
+
+if __name__ == "__main__":
+    main()
