@@ -129,12 +129,6 @@ def attention(
     q = _linear(x, params["q"]).reshape(b, s, nh, hd)
     k = _linear(x, params["k"]).reshape(b, s, nkv, hd)
     v = _linear(x, params["v"]).reshape(b, s, nkv, hd)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    if nkv != nh:  # grouped-query attention: broadcast KV over query groups
-        rep = nh // nkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
     scale = (
         cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar else hd ** -0.5
     )
@@ -148,27 +142,51 @@ def attention(
         and mask is not None
         and not cfg.attn_logit_softcapping
         and hd % 64 == 0
-        and s % 128 == 0
     )
-    if flash_ok and hd == 64 and nh % 2 == 0 and nkv == nh:
+    # flash64 handles any sublane-aligned (x8) sequence — the reference's
+    # exact pad-to-x8 convention; the stock jax flash path needs s % 128.
+    if flash_ok and hd == 64 and nh % 2 == 0 and nkv == nh and s % 8 == 0:
         # custom head_dim-64 kernel (ops/flash64.py): head pairs packed in
         # the lane dimension straight from the [B,S,H*64] hidden layout —
         # no transposes; 6.3 ms/op vs stock flash's 9.9 at the reranker
         # shape. Requires a left-pad mask, which is the only padding
         # convention of the head_dim-64 model family here (the MiniCPM
-        # reranker, minicpm.py::build_inputs).
+        # reranker, minicpm.py::build_inputs). With batch-shared positions
+        # (cos shape [1,S,D], the default arange), RoPE runs inside the
+        # kernel — the host-side formulation costs 3-4 ms of HBM passes per
+        # q/k per layer at the operating shape.
         from easyrag_tpu.ops.flash64 import flash64_attention
 
+        if cos.shape[0] == 1:
+            qf, kf = q, k
+            rope_kw = {"cos": cos[0], "sin": sin[0]}
+        else:  # per-row positions: rope on host, kernel without rope
+            qf = apply_rope(q, cos, sin)
+            kf = apply_rope(k, cos, sin)
+            rope_kw = {}
         out = flash64_attention(
-            q.reshape(b, s, nh * hd),
-            k.reshape(b, s, nh * hd),
+            qf.reshape(b, s, nh * hd),
+            kf.reshape(b, s, nh * hd),
             v.reshape(b, s, nh * hd),
             mask,
             sm_scale=scale,
+            block_q=(
+                cfg.flash_blocks[0]
+                if cfg.flash_blocks and s % cfg.flash_blocks[0] == 0
+                else None
+            ),
+            **rope_kw,
         )
         return _linear(out.astype(x.dtype), params["o"])
 
-    if flash_ok:
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if nkv != nh:  # grouped-query attention: broadcast KV over query groups
+        rep = nh // nkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    if flash_ok and s % 128 == 0:
         # Pallas flash attention: the (S, S) scores tile never touches HBM.
         # Padding rides the segment-id mask (pad tokens get id 0, real id 1,
         # so neither side attends across); causality via the kernel's
@@ -181,8 +199,8 @@ def attention(
 
         blocks = cfg.flash_blocks
         if blocks is None and hd % 128 != 0:
-            # head_dim-64 default: widest k block; q block 384 when it
-            # divides seq (measured optimum), else the largest 128-multiple
+            # head_dim-64 fallback (odd head count / GQA): widest k block;
+            # q block 384 when it divides seq, else the largest 128-multiple
             # divisor of seq up to 512.
             bq = 384 if s % 384 == 0 else max(
                 b for b in (512, 256, 128) if s % b == 0
@@ -281,8 +299,9 @@ def forward_hidden(
     layers).
     """
     if position_ids is None:
-        b, s = input_ids.shape
-        position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (b, s))
+        # [1, S]: batch-shared positions let the flash64 path rope in-kernel
+        s = input_ids.shape[1]
+        position_ids = jnp.arange(s, dtype=jnp.int32)[None, :]
     cos, sin = rope_tables(position_ids, cfg.hd, cfg.rope_theta)
     bias = attention_bias_from_mask(attention_mask)
     h = embed(cfg, params, input_ids)

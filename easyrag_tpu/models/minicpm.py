@@ -76,8 +76,9 @@ def _segment(
     end: int,
 ) -> jnp.ndarray:
     """Run decoder layers [start, end) from a carried hidden state."""
-    b, s = attention_mask.shape
-    position_ids = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :], (b, s))
+    s = attention_mask.shape[1]
+    # [1, S] batch-shared positions: the flash64 path ropes in-kernel
+    position_ids = jnp.arange(s, dtype=jnp.int32)[None, :]
     cos, sin = rope_tables(position_ids, cfg.hd, cfg.rope_theta)
     bias = attention_bias_from_mask(attention_mask)
     for idx in range(start, end):
@@ -129,6 +130,7 @@ class MiniCPMLayerWiseReranker:
         use_efficient: int = 0,
         efficient_t: float = 0.4,
         efficient_layers: Tuple[int, ...] = (12,),
+        seq_bucket: int = 64,
     ) -> None:
         self.cfg = cfg
         self.params = params
@@ -139,6 +141,7 @@ class MiniCPMLayerWiseReranker:
         self.use_efficient = use_efficient
         self.efficient_t = efficient_t
         self.efficient_layers = tuple(efficient_layers)
+        self.seq_bucket = seq_bucket
         self.prompt = (
             "Given a query A and a passage B, determine whether the passage "
             "contains an answer to the query by providing a prediction of "
@@ -179,11 +182,11 @@ class MiniCPMLayerWiseReranker:
         max_len = max(len(r) for r in rows)
         # the reference pads to a multiple of 8 (rerankers.py:290); we pad to
         # a bounded set of compile buckets (extra padding is masked out and,
-        # with left padding, the scored last position stays real). 128 covers
-        # both the einsum path and flash (which as of round 2 accepts any
-        # seq % 128 == 0 at head_dim 64 — the old 512-bucket wasted 44% of
-        # the model's FLOPs on pad tokens at the typical 1064-token batch).
-        bucket = 128
+        # with left padding, the scored last position stays real). flash64
+        # accepts any x8 length, so the bucket only trades compile-cache
+        # size against pad FLOPs: 64 (default) wastes <3% tokens with <=18
+        # buckets at max_length 1024. r1's 512-bucket wasted 44%.
+        bucket = self.seq_bucket
         max_len = max(((max_len + bucket - 1) // bucket) * bucket, bucket)
         pad_id = tk.pad_token_id if tk.pad_token_id is not None else 0
         ids = np.full((len(rows), max_len), pad_id, dtype=np.int32)

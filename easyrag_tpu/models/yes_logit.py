@@ -42,6 +42,7 @@ class YesLogitScorer:
         self._builder = MiniCPMLayerWiseReranker.__new__(MiniCPMLayerWiseReranker)
         self._builder.tokenizer = tokenizer
         self._builder.max_length = max_length
+        self._builder.seq_bucket = 64
         self._builder.prompt = (
             "Given a query A and a passage B, determine whether the passage "
             "contains an answer to the query by providing a prediction of "

@@ -77,9 +77,11 @@ def main():
         return per
 
     results = {}
+    results["flash64 S=1064 (x8 pad, default)"] = bench(
+        "flash64 S=1064 (reference's exact x8 padding)", cfg_for(True), 1064)
+    results["flash64 S=1152"] = bench(
+        "flash64 S=1152 (128 bucket)", cfg_for(True), 1152)
     results["einsum S=1152"] = bench("einsum S=1152", cfg_for(False), 1152)
-    results["flash S=1152 (384xS)"] = bench(
-        "flash S=1152 blocks(384,1152)", cfg_for(True), 1152)
     results["flash S=1536 b512 (r1 config)"] = bench(
         "flash S=1536 blocks(512,512)", cfg_for(True, (512, 512)), 1536)
 
