@@ -163,6 +163,8 @@ def main() -> None:
         best = min(best, time.perf_counter() - t0)
     ours_qps = done / best
 
+    dense_qps, dense_ratio = bench_dense(rng)
+
     print(
         json.dumps(
             {
@@ -170,9 +172,57 @@ def main() -> None:
                 "value": round(ours_qps, 2),
                 "unit": "queries/s",
                 "vs_baseline": round(ours_qps / baseline_qps, 2),
+                "extra": {
+                    "dense_cosine_qps_20k_docs_3584d_top288": round(dense_qps, 2),
+                    "dense_vs_cpu_flat_scan": round(dense_ratio, 2),
+                },
             }
         )
     )
+
+
+def bench_dense(rng) -> tuple:
+    """Dense route (the qdrant replacement) at the reference operating point
+    (3584-d cosine, top-288, ``configs/easyrag.yaml:9,16``): the whole query
+    stream in one compiled dispatch (``dense_score_topk_stream``), vs a
+    numpy/BLAS flat scan standing in for a generous single-node baseline.
+    Index and queries are generated ON DEVICE (host->device bulk uploads
+    crawl through the axon tunnel and would dominate otherwise; a real
+    deployment uploads the index once at boot)."""
+    import jax
+    import jax.numpy as jnp
+
+    from easyrag_tpu.index.dense import dense_score_topk_stream
+
+    N, D, K, B = N_DOCS, 3584, 288, 64
+    nb = N_QUERIES // B
+    key = jax.random.key(7)
+    matrix = jax.random.normal(key, (N, D), jnp.bfloat16)
+    matrix = matrix / jnp.linalg.norm(
+        matrix.astype(jnp.float32), axis=1, keepdims=True
+    ).astype(jnp.bfloat16)
+    q = jax.random.normal(jax.random.fold_in(key, 1), (nb, B, D), jnp.bfloat16)
+
+    def run_all():
+        _, _, checksum = dense_score_topk_stream(q, matrix, K)
+        return int(checksum)  # 4-byte readback: the only honest barrier here
+
+    run_all()  # warmup/compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_all()
+        best = min(best, time.perf_counter() - t0)
+    ours_qps = N_QUERIES / best
+
+    # CPU flat-scan baseline on a handful of queries, extrapolated
+    mat_np = rng.standard_normal((N, D), dtype=np.float32)
+    q_np = rng.standard_normal((BASELINE_QUERIES, D), dtype=np.float32)
+    t0 = time.perf_counter()
+    scores = q_np @ mat_np.T
+    np.argpartition(-scores, K, axis=1)[:, :K]
+    cpu_qps = BASELINE_QUERIES / (time.perf_counter() - t0)
+    return ours_qps, ours_qps / cpu_qps
 
 
 if __name__ == "__main__":

@@ -132,6 +132,10 @@ class GTEEmbedder:
     def get_query_embedding(self, query: str) -> np.ndarray:
         return self._embed([self.get_detailed_instruct(query)])[0]
 
+    def get_query_embeddings(self, queries: List[str]) -> np.ndarray:
+        """Batched query embedding (one device stream for a whole eval set)."""
+        return self._embed([self.get_detailed_instruct(q) for q in queries])
+
     def get_text_embedding(self, text: str) -> np.ndarray:
         return self._embed([text])[0]
 

@@ -68,6 +68,11 @@ class STEmbedder:
             [query], prompt_name="query", normalize_embeddings=True
         )[0]
 
+    def get_query_embeddings(self, queries: List[str]) -> np.ndarray:
+        return self.model.encode(
+            list(queries), prompt_name="query", normalize_embeddings=True
+        )
+
     def get_text_embedding(self, text: str) -> np.ndarray:
         return self.model.encode(
             [text], prompt_name="text", normalize_embeddings=True

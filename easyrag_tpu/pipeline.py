@@ -411,6 +411,15 @@ class EasyRAGPipeline:
             and not self.hyde
             and isinstance(self.sparse_retriever, BM25Retriever)
         )
+        fusion_batchable = (
+            self.rerank_fusion_type != 0
+            and self.reranker is None
+            and not self.hyde
+            and self.dense_retriever is not None
+            and isinstance(self.sparse_retriever, BM25Retriever)
+        )
+        if fusion_batchable:
+            return self._run_fusion_retrieval_batch(queries)
         if not batchable:
             return [await self.run(dict(q)) for q in queries]
         bundles = [QueryBundle(query_str=q["query"]) for q in queries]
@@ -434,6 +443,35 @@ class EasyRAGPipeline:
         out = []
         for content_nodes, path_nodes in zip(content_lists, path_lists):
             fused = HybridRetriever.fusion([content_nodes, path_nodes])
+            contents = [self.get_node_content(n) for n in fused]
+            out.append({"answer": "", "nodes": fused, "contexts": contents})
+        return out
+
+    def _run_fusion_retrieval_batch(
+        self, queries: list[Dict[str, Any]]
+    ) -> list[Dict[str, Any]]:
+        """Batched retrieval-only slice of ``generation_with_rerank_fusion``
+        (retrieval_type 1/3 operating point: dense top-288 + sparse top-192,
+        RRF to ``r_topk_1``): the whole query set runs as one batched query-
+        embedding pass + one ``DenseIndex.query_stream`` dispatch + one
+        sparse stream — row-wise identical to the per-query path
+        (reference ``pipeline.py:393-414`` with ``re_only``)."""
+        bundles = [QueryBundle(query_str=q["query"]) for q in queries]
+        pairs = [self.build_filters(q) for q in queries]
+        dir_values = [p[0] for p in pairs]  # dense route: `dir` name or None
+        filter_dicts = [p[1] for p in pairs]  # sparse route: {'dir': ...}
+        with trace("retrieval_batch"):
+            dense_lists = self.dense_retriever.retrieve_batch(
+                bundles, dir_values
+            )
+            sparse_lists = self.sparse_retriever.retrieve_batch(
+                bundles, filter_dicts
+            )
+        out = []
+        for sparse_nodes, dense_nodes in zip(sparse_lists, dense_lists):
+            fused = HybridRetriever.reciprocal_rank_fusion(
+                [sparse_nodes, dense_nodes], topk=self.r_topk_1
+            )
             contents = [self.get_node_content(n) for n in fused]
             out.append({"answer": "", "nodes": fused, "contexts": contents})
         return out

@@ -320,6 +320,35 @@ class DenseRetriever:
     async def aretrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
         return self.retrieve(query_bundle)
 
+    def retrieve_batch(
+        self,
+        query_bundles: List[QueryBundle],
+        dir_values: Optional[List[Optional[str]]] = None,
+    ) -> List[List[NodeWithScore]]:
+        """Whole query set in two device streams: one batched query-embedding
+        pass (``get_query_embeddings``) and one ``DenseIndex.query_stream``
+        dispatch — row-wise identical to :meth:`retrieve` (the sparse route
+        got this 2x stream win in round 1; this is the dense counterpart)."""
+        queries = [qb.query_str for qb in query_bundles]
+        if hasattr(self._embed_model, "get_query_embeddings"):
+            embs = np.asarray(self._embed_model.get_query_embeddings(queries))
+        else:  # minimal-embedder fallback: per-query loop, still one stream
+            embs = np.stack(
+                [np.asarray(self._embed_model.get_query_embedding(q)) for q in queries]
+            )
+        vals, idx = self.index.query_stream(
+            embs, self._similarity_top_k, dir_values=list(dir_values or [None] * len(queries))
+        )
+        lists: List[List[NodeWithScore]] = []
+        for row_v, row_i in zip(vals, idx):
+            out: List[NodeWithScore] = []
+            for v, i in zip(row_v, row_i):
+                if not np.isfinite(v):
+                    break
+                out.append(NodeWithScore(node=self._nodes[int(i)], score=float(v)))
+            lists.append(out)
+        return lists
+
 
 class HybridRetriever:
     """Route dispatch + fusion (``retrievers.py:223-291``)."""

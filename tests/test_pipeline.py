@@ -366,6 +366,40 @@ def test_retrieval_batch_matches_per_query(tmp_path):
         ]
 
 
+def test_fusion_retrieval_batch_matches_per_query(tmp_path):
+    # retrieval_type 3 + rerank_fusion_type 1 (the dense+sparse RRF path):
+    # the batch form streams query embeddings + DenseIndex.query_stream +
+    # the sparse stream, and must be row-wise identical to per-query run()
+    cfg = _config(
+        tmp_path,
+        retrieval_type=3,
+        rerank_fusion_type=1,
+        f_topk=6,
+        f_topk_1=4,
+        r_topk_1=4,
+        cache_path=str(tmp_path / "cache"),
+    )
+    pipeline = EasyRAGPipeline(cfg, embed_model=FakeEmbedder())
+    base = [
+        {"query": "CDU虚机扩容的最大SC个数是多少？"},
+        {"query": "鉴权失败如何处理？", "document": "umac"},
+        {"query": "备份"},
+        {"query": "完全无关的查询词组xyzq"},
+        {"query": "备份", "document": "不存在的目录"},  # never-match filter
+    ]
+    # >64 rows so the dense stream's scan + tail padding path runs
+    queries = [dict(base[i % len(base)]) for i in range(67)]
+    batched = asyncio.get_event_loop().run_until_complete(
+        pipeline.run_retrieval_batch([dict(q) for q in queries])
+    )
+    singles = [_run(pipeline, dict(q)) for q in queries]
+    for b, s in zip(batched, singles):
+        assert b["contexts"] == s["contexts"]
+        assert [round(n.score or 0, 6) for n in b["nodes"]] == [
+            round(n.score or 0, 6) for n in s["nodes"]
+        ]
+
+
 def test_api_contract(tmp_path):
     from aiohttp.test_utils import TestClient, TestServer
 
