@@ -7,7 +7,12 @@ same flags and file layout.
 
 Usage:
     python -m easyrag_tpu.cli --config configs/easyrag.yaml --split val \
-        [--re-only] [--note best] [--no-save-inter] [--push]
+        [--re-only] [--note best] [--no-save-inter] [--push] \
+        [--set any_knob=value ...]
+
+``--set key=value`` (repeatable) overrides ANY config knob, matching fire's
+arbitrary-kwargs merge in the reference (``src/main.py:21-32``); dotted keys
+address the tpu section (``--set tpu.query_batch=16``).
 """
 
 from __future__ import annotations
@@ -34,8 +39,13 @@ def get_test_data(split: str = "val", data_dir: str = "data") -> List[Dict[str, 
 
 
 async def run_batch(args: argparse.Namespace) -> None:
-    overrides: Dict[str, Any] = {"re_only": args.re_only}
-    config = load_config(args.config, overrides=overrides)
+    # like fire (src/main.py:21-32), only knobs the user actually passed
+    # override the yaml; --re-only is sugar for --set re_only=true
+    overrides: Dict[str, Any] = {}
+    if args.re_only:
+        overrides["re_only"] = True
+    config = load_config(args.config, overrides=overrides, set_specs=args.set)
+    args.re_only = config.re_only
     pipeline = EasyRAGPipeline(config)
     queries = get_test_data(args.split, args.qa_dir)
 
@@ -117,6 +127,14 @@ def main() -> None:
     parser.add_argument("--push", action="store_true")
     parser.add_argument("--note", default="best")
     parser.add_argument("--qa-dir", default="data", help="dir with question.jsonl/val.json")
+    parser.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="override any config knob (fire-style, src/main.py:21-32); "
+        "repeatable; dotted keys hit the tpu section (tpu.query_batch=16)",
+    )
     parser.add_argument(
         "--no-save-inter", action="store_false", dest="save_inter", default=True
     )

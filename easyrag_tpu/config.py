@@ -142,10 +142,66 @@ class EasyRAGConfig:
         return dataclasses.asdict(self)
 
 
-def load_config(path: str, overrides: Optional[Dict[str, Any]] = None) -> EasyRAGConfig:
-    """YAML -> :class:`EasyRAGConfig`, CLI-override merge like ``main.py:30-32``."""
+def parse_override(spec: str) -> (str, Any):
+    """Parse one ``key=value`` CLI override into a typed ``(key, value)``.
+
+    This is the argparse stand-in for fire's arbitrary-kwargs merge
+    (``src/main.py:21-32``): the reference accepts ANY ``--knob value`` and
+    folds it into the raw config dict. Values are typed by YAML rules
+    (``1`` -> int, ``0.4`` -> float, ``true`` -> bool, ``[1,2]`` -> list,
+    anything else -> str). Dotted keys address the ``tpu`` section
+    (``tpu.query_batch=16``).
+    """
+    if "=" not in spec:
+        raise ValueError(f"--set expects key=value, got {spec!r}")
+    key, _, text = spec.partition("=")
+    key = key.strip()
+    if not key:
+        raise ValueError(f"--set expects key=value, got {spec!r}")
+    try:
+        value = yaml.safe_load(text) if text != "" else ""
+    except yaml.YAMLError:
+        value = text
+    return key, value
+
+
+def apply_overrides(raw: Dict[str, Any], overrides: Dict[str, Any]) -> None:
+    """Merge typed overrides into the raw config dict in place.
+
+    Dotted keys update nested sections (currently ``tpu.*``); plain keys
+    replace top-level entries — exactly fire's ``config[key] = value``
+    behavior in ``src/main.py:30-32``, unknown keys included (they survive
+    in ``EasyRAGConfig.extra``).
+    """
+    for key, value in overrides.items():
+        if "." in key:
+            head, _, rest = key.partition(".")
+            section = raw.setdefault(head, {})
+            if not isinstance(section, dict):
+                raise ValueError(f"cannot set {key!r}: {head!r} is not a section")
+            section[rest] = value
+        else:
+            raw[key] = value
+
+
+def load_config(
+    path: str,
+    overrides: Optional[Dict[str, Any]] = None,
+    set_specs: Optional[List[str]] = None,
+) -> EasyRAGConfig:
+    """YAML -> :class:`EasyRAGConfig`, CLI-override merge like ``main.py:30-32``.
+
+    ``overrides`` are already-typed values from fixed CLI flags;
+    ``set_specs`` are raw ``key=value`` strings from ``--set`` (fire-style
+    arbitrary knobs), typed by :func:`parse_override`.
+    """
     with open(path, "r", encoding="utf-8") as f:
         raw = yaml.safe_load(f) or {}
+    merged: Dict[str, Any] = {}
     if overrides:
-        raw.update(overrides)
+        merged.update(overrides)
+    for spec in set_specs or []:
+        key, value = parse_override(spec)
+        merged[key] = value
+    apply_overrides(raw, merged)
     return EasyRAGConfig.from_dict(raw)

@@ -73,6 +73,10 @@ tpu:
             sys.executable, "-m", "easyrag_tpu.cli",
             "--config", str(cfg), "--split", "val", "--re-only",
             "--note", "t", "--qa-dir", str(qa_dir),
+            # fire-style arbitrary overrides (src/main.py:21-32): shrink the
+            # sparse route to prove non-flag knobs reach the pipeline
+            "--set", "f_topk_2=1", "--set", "f_topk_3=0",
+            "--set", "tpu.query_batch=16",
         ],
         cwd=str(tmp_path),
         env=env,
@@ -90,6 +94,43 @@ tpu:
     inter = json.load(open(tmp_path / "inter" / "val_t.json", encoding="utf-8"))
     assert inter[0]["candidates"] and "CDU" in inter[0]["candidates"][0]
     assert inter[0]["paths"][0] == "director/a.txt"
+    # --set f_topk_2=1 / f_topk_3=0 took effect end-to-end
+    assert len(inter[0]["candidates"]) == 1
+
+
+def test_set_override_parsing_and_merge(tmp_path):
+    from easyrag_tpu.config import apply_overrides, load_config, parse_override
+
+    assert parse_override("f_topk_2=7") == ("f_topk_2", 7)
+    assert parse_override("compress_rate=0.25") == ("compress_rate", 0.25)
+    assert parse_override("re_only=true") == ("re_only", True)
+    assert parse_override("note=best") == ("note", "best")
+    assert parse_override("llm_keys=[a, b]") == ("llm_keys", ["a", "b"])
+    assert parse_override("tpu.query_batch=16") == ("tpu.query_batch", 16)
+    try:
+        parse_override("no-equals")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+    raw = {"tpu": {"use_pallas": False}}
+    apply_overrides(raw, {"tpu.query_batch": 16, "f_topk": 9, "unknown_knob": 1})
+    assert raw == {
+        "tpu": {"use_pallas": False, "query_batch": 16},
+        "f_topk": 9,
+        "unknown_knob": 1,
+    }
+
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text("retrieval_type: 2\nf_topk_2: 192\n", encoding="utf-8")
+    cfg = load_config(
+        str(cfg_file),
+        set_specs=["f_topk_2=5", "tpu.query_batch=16", "custom_extra=x"],
+    )
+    assert cfg.f_topk_2 == 5
+    assert cfg.tpu.query_batch == 16
+    # unknown keys survive like fire's dict merge (EasyRAGConfig.extra)
+    assert cfg.extra["custom_extra"] == "x"
 
 
 def test_embedder_bucketing_shapes():
