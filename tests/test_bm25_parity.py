@@ -1,11 +1,30 @@
 """Exact-score parity: packed SparseIndex vs clean-room oracles, host vs
-device paths, and the reference's argsort tie ordering."""
+device paths, and the reference's argsort tie ordering.
+
+The vendored fixture ``fixtures/bm25_goldens.json`` breaks the
+oracle-vs-oracle symmetry: its score tables are literal numbers committed to
+git (hand-derived from the published algorithms here; regenerated from the
+REAL rank_bm25/bm25s/jieba via ``tools/gen_bm25_goldens.py`` wherever those
+libraries exist), so a shared misreading of
+``src/easyrag/custom/retrievers.py:103-118`` in both the index and
+``tests/oracles.py`` cannot silently pass."""
+
+import json
+import os
 
 import numpy as np
 import pytest
 
 from easyrag_tpu.index.sparse import build_sparse_index
 from oracles import OkapiOracle, LuceneOracle, synthetic_corpus
+
+_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "bm25_goldens.json")
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    with open(_FIXTURE, encoding="utf-8") as f:
+        return json.load(f)
 
 
 @pytest.fixture(scope="module")
@@ -39,6 +58,60 @@ def test_lucene_host_parity(corpus):
         expected = np.array(oracle.get_scores(q))
         got = index.get_scores_host(q)
         np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+
+
+def test_okapi_vendored_goldens(goldens):
+    """Packed index vs vendored literal scores: epsilon-floor (incl. the
+    NEGATIVE-floor quirk when avg_idf < 0), duplicate query tokens, tf > 1,
+    unknown tokens, empty query."""
+    for case in goldens["okapi"]["cases"]:
+        index = build_sparse_index(case["corpus"], bm25_type=0)
+        oracle = OkapiOracle(case["corpus"])
+        for q, expected in zip(case["queries"], case["scores"]):
+            np.testing.assert_allclose(
+                index.get_scores_host(q), expected, rtol=1e-12, atol=1e-12,
+                err_msg=f"case={case['name']} q={q}",
+            )
+            # the clean-room oracle must match the vendored numbers too —
+            # drift in oracles.py gets caught against the pinned fixture
+            np.testing.assert_allclose(
+                oracle.get_scores(q), expected, rtol=1e-12, atol=1e-12
+            )
+
+
+def test_lucene_vendored_goldens(goldens):
+    for case in goldens["lucene"]["cases"]:
+        index = build_sparse_index(case["corpus"], bm25_type=1)
+        oracle = LuceneOracle(case["corpus"])
+        for q, expected in zip(case["queries"], case["scores"]):
+            np.testing.assert_allclose(
+                index.get_scores_host(q), expected, rtol=1e-12, atol=1e-12,
+                err_msg=f"case={case['name']} q={q}",
+            )
+            np.testing.assert_allclose(
+                oracle.get_scores(q), expected, rtol=1e-12, atol=1e-12
+            )
+
+
+def test_okapi_negative_floor_quirk_is_exercised(goldens):
+    """Guard: the first okapi fixture case must keep avg_idf < 0 so the
+    epsilon 'floor' is NEGATIVE (rank_bm25 multiplies epsilon by the mean of
+    raw IDFs — with a dominant high-df token that mean can be negative)."""
+    case = goldens["okapi"]["cases"][0]
+    oracle = OkapiOracle(case["corpus"])
+    assert oracle.idf["a"] < 0  # floored value stays negative
+    scores = np.asarray(case["scores"][0])  # query ["a"]
+    assert (scores < 0).all()
+
+
+def test_jieba_vendored_goldens(goldens):
+    """JiebaTokenizer output vs goldens generated from the real jieba
+    library (the reference tokenizer, retrievers.py:72-76)."""
+    from easyrag_tpu.corpus.tokenizer import JiebaTokenizer
+
+    tk = JiebaTokenizer()
+    for text, expected in goldens["jieba"].items():
+        assert tk.cut(text) == expected, text
 
 
 def test_okapi_epsilon_floor_applies():
