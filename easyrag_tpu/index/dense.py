@@ -36,7 +36,8 @@ import numpy as np
 
 from ..ops.topk import topk_desc_reference_order
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # host constant: a jnp scalar here would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize ordering
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 from .topk import topk_desc_reference_order
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # host constant: a jnp scalar here would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize ordering
 
 
 def pack_postings(doc_ids, vals):

@@ -32,7 +32,8 @@ import numpy as np
 from ..index.sparse import SparseIndex
 from .topk import topk_desc_reference_order
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # host constant: a jnp scalar here would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize ordering
 
 
 def _resident_score_topk_impl(

@@ -36,11 +36,18 @@ def init_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize jax.distributed (no-op when single-process)."""
+    """Initialize jax.distributed (no-op when single-process).
+
+    On the CPU platform the cross-process collective backend must be
+    selected before the backend initializes; gloo is the one jaxlib ships.
+    TPU pods need no selection (collectives ride ICI/DCN natively).
+    """
     import jax
 
     if num_processes is None or num_processes <= 1:
         return
+    if jax.config.jax_platforms == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

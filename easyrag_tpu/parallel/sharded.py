@@ -28,7 +28,8 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.topk import topk_desc_reference_order
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # host constant: a jnp scalar here would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize ordering
 
 
 def _merge_global_topk(local_vals, local_idx, axis: str, k: int):

@@ -1,5 +1,11 @@
 """Multi-host index build: shard/assemble flow simulated with sequential
-"hosts"; assembled retrieval equals a single-host build."""
+"hosts", assembled retrieval equals a single-host build, and a TRUE
+2-process jax.distributed run exercising the DCN collective path."""
+
+import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 
@@ -71,3 +77,54 @@ def test_multihost_build_matches_single_host(tmp_path):
     a = [(n.node.text, round(n.score, 10)) for n in r_multi.retrieve(q)]
     b = [(n.node.text, round(n.score, 10)) for n in r_single.retrieve(q)]
     assert a == b and a
+
+
+def test_two_process_dcn_allgather(tmp_path):
+    """Non-simulated multi-process case: two real OS processes initialize
+    jax.distributed against a local coordinator (CPU + gloo collectives) and
+    run the count-exchange + padded process_allgather path of
+    ``allgather_shard_embeddings``. Every process must end up with the same
+    full matrix, equal to the shard artifacts assembled in process order."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "dcn_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo  # drop the axon site hook; children run pure CPU
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), out],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=300)
+        logs.append(stdout)
+        assert p.returncode == 0, stdout[-2000:]
+
+    from easyrag_tpu.parallel.multihost import assemble_shards
+
+    nodes, assembled = assemble_shards(out)
+    assert assembled is not None and len(assembled) == len(nodes)
+    g0 = np.load(tmp_path / "shards" / "gathered_0.npy")
+    g1 = np.load(tmp_path / "shards" / "gathered_1.npy")
+    np.testing.assert_array_equal(g0, g1)
+    np.testing.assert_array_equal(g0, assembled)
+    # the shards were genuinely ragged (padding path exercised), and the
+    # gather really crossed processes
+    sizes = {
+        len(np.load(tmp_path / "shards" / d / "emb.npy"))
+        for d in os.listdir(out)
+        if d.startswith("shard_")
+    }
+    assert len(sizes) > 1, sizes
