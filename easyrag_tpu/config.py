@@ -106,6 +106,11 @@ class EasyRAGConfig:
     hyde: bool = False
     hyde_merging: bool = False
 
+    # -- serving batcher (new; the reference serves strictly per-request) --
+    serve_window_ms: float = 4.0  # request-coalescing window
+    serve_max_batch: int = 32  # max coalesced retrieval batch
+    serve_coalesce_rerank: bool = True  # fuse reranker batches across requests
+
     # -- TPU execution --
     tpu: TPUConfig = field(default_factory=TPUConfig)
 

@@ -272,7 +272,10 @@ class EasyRAGPipeline:
                 topk=cfg.f_topk,
             )
 
-        # reranker
+        # reranker; the serving layer may set rerank_in_thread so concurrent
+        # requests overlap in the rerank stage (required for cross-request
+        # coalescing through serving.coalesce.CoalescingScorer)
+        self.rerank_in_thread = False
         self.reranker = reranker
         if self.reranker is None and cfg.use_reranker != 0:
             from .models.registry import load_reranker
@@ -570,6 +573,18 @@ class EasyRAGPipeline:
         sparse.filter_dict = saved
         return content_lists, path_lists
 
+    async def _apply_reranker(self, nodes, query_bundle):
+        """Run the rerank stage, in a worker thread when the serving layer
+        enabled cross-request coalescing (threads let concurrent requests'
+        pairs meet in the CoalescingScorer queue)."""
+        if self.rerank_in_thread:
+            import asyncio
+
+            return await asyncio.to_thread(
+                self.reranker.postprocess_nodes, nodes, query_bundle
+            )
+        return self.reranker.postprocess_nodes(nodes, query_bundle)
+
     async def generation_with_knowledge_retrieval(
         self, query_str: str, hyde_query: str = ""
     ) -> Dict[str, Any]:
@@ -603,7 +618,7 @@ class EasyRAGPipeline:
                 )
             emit("reranking", {"candidates": len(node_with_scores)})
             with trace("rerank"):
-                node_with_scores = self.reranker.postprocess_nodes(
+                node_with_scores = await self._apply_reranker(
                     node_with_scores, query_bundle
                 )
         contents = [self.get_node_content(node) for node in node_with_scores]
@@ -632,10 +647,10 @@ class EasyRAGPipeline:
 
         dense_nodes = await self.dense_retriever.aretrieve(query_bundle)
         if self.reranker:
-            dense_nodes = self.reranker.postprocess_nodes(dense_nodes, query_bundle)
+            dense_nodes = await self._apply_reranker(dense_nodes, query_bundle)
         sparse_nodes = await self.sparse_retriever.aretrieve(query_bundle)
         if self.reranker:
-            sparse_nodes = self.reranker.postprocess_nodes(sparse_nodes, query_bundle)
+            sparse_nodes = await self._apply_reranker(sparse_nodes, query_bundle)
 
         node_with_scores = HybridRetriever.reciprocal_rank_fusion(
             [sparse_nodes, dense_nodes], topk=self.r_topk_1

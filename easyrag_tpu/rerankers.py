@@ -58,6 +58,20 @@ class LLMRerank:
         n = len(nodes)
         bsz = self.embed_bs
         saved_cutoff = getattr(self.scorer, "cutoff_layer", None)
+        if getattr(self.scorer, "coalesce", False) and self.use_efficient != 2:
+            # coalescing scorer (serving): hand over un-chunked pair lists so
+            # tails can fuse with other requests' pairs into full batches.
+            # use_efficient=2 judges every batch -> nothing to coalesce.
+            scores = self._score_coalesced(nodes, query)
+            for node, score in zip(nodes, scores):
+                if self.keep_retrieval_score:
+                    node.node.metadata["retrieval_score"] = node.score
+                node.score = float(score)
+            if saved_cutoff is not None:
+                self.scorer.cutoff_layer = saved_cutoff
+            return sorted(nodes, key=lambda x: -x.score if x.score else 0)[
+                : self.top_n
+            ]
         for lo in range(0, n, bsz):
             cur = nodes[lo : lo + bsz]
             pairs = [
@@ -92,6 +106,33 @@ class LLMRerank:
             : self.top_n
         ]
         return new_nodes
+
+    def _score_coalesced(self, nodes: List[NodeWithScore], query: str):
+        """Score through a coalescing scorer: judge protocol (if any) on the
+        first ``embed_bs`` pairs exactly as the legacy loop, then ALL
+        remaining pairs in one call — the scorer chunks/pads them, fusing
+        with concurrent requests."""
+        pairs = [
+            (query, get_node_content(node.node, self.embed_type)) for node in nodes
+        ]
+        out: List[float] = []
+        start = 0
+        if self.use_efficient == 1:
+            first = pairs[: self.embed_bs]
+            emit("reranking", {"batch": 0, "pairs": len(first), "judge": True})
+            scores, layer_used = self.scorer.score_pairs(first, judge=True)
+            self.scorer.cutoff_layer = layer_used
+            out.extend(float(s) for s in scores[: len(first)])
+            start = len(first)
+        rest = pairs[start:]
+        if rest:
+            emit(
+                "reranking",
+                {"batch": 1 if start else 0, "pairs": len(rest), "judge": False},
+            )
+            scores, _ = self.scorer.score_pairs(rest, judge=False)
+            out.extend(float(s) for s in scores[: len(rest)])
+        return out
 
 
 class SentenceTransformerRerank:

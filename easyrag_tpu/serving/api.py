@@ -10,7 +10,11 @@ unchanged.
 Retrieval-only deployments (``re_only`` configs) get request
 micro-batching: concurrent requests within a small window coalesce into one
 device call through ``pipeline.run_retrieval_batch`` (the resident index
-scores a whole batch for the price of one dispatch).
+scores a whole batch for the price of one dispatch). Full-RAG deployments
+instead get cross-request RERANKER coalescing (``serving/coalesce.py``):
+concurrent requests' pair batches fuse into shared device dispatches.
+Window/max-batch are config knobs (``serve_window_ms``, ``serve_max_batch``,
+``serve_coalesce_rerank``).
 
 Run:  python -m easyrag_tpu.serving.api --config configs/easyrag.yaml
 """
@@ -71,11 +75,31 @@ def create_app(pipeline: EasyRAGPipeline):
     from aiohttp import web
 
     routes = web.RouteTableDef()
+    cfg = getattr(pipeline, "config", None)
+    window_ms = getattr(cfg, "serve_window_ms", 4.0)
+    max_batch = getattr(cfg, "serve_max_batch", 32)
     batcher = (
-        RetrievalBatcher(pipeline)
+        RetrievalBatcher(pipeline, window_ms=window_ms, max_batch=max_batch)
         if pipeline.re_only and pipeline.rerank_fusion_type == 0
         else None
     )
+    # full-RAG path: fuse reranker batches across concurrent requests — the
+    # rerank stage dominates (SURVEY §3 hot loop #1), and per-request tail
+    # batches waste padded slots that other requests' pairs can fill
+    if (
+        batcher is None
+        and getattr(cfg, "serve_coalesce_rerank", True)
+        and getattr(pipeline.reranker, "scorer", None) is not None
+        and not getattr(pipeline.reranker.scorer, "coalesce", False)
+    ):
+        from .coalesce import CoalescingScorer
+
+        pipeline.reranker.scorer = CoalescingScorer(
+            pipeline.reranker.scorer,
+            max_batch=getattr(pipeline.reranker, "embed_bs", max_batch),
+            window_ms=window_ms,
+        )
+        pipeline.rerank_in_thread = True
 
     @routes.get("/test")
     async def test(_request):
