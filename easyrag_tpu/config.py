@@ -33,6 +33,10 @@ class TPUConfig:
     max_query_postings: int = 32768
     # query microbatch for batched retrieval
     query_batch: int = 32
+    # embedder weight storage: "" keeps bf16; "int8" stores the matmul
+    # weights int8 with per-channel scales (4x f32 / 2x bf16 HBM headroom —
+    # the 7B-embedder-next-to-a-large-index case, SURVEY §7 hard part #4)
+    embedder_quant: str = ""
     # resident sparse heavy-matrix storage: float32 (exact, default) |
     # bfloat16 (2x HBM headroom) | int8 (4x, per-doc-column scales)
     sparse_heavy_dtype: str = "float32"

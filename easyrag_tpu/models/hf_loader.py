@@ -33,13 +33,28 @@ def load_hf_config(model_dir: str) -> Dict[str, Any]:
         return json.load(f)
 
 
-def _iter_safetensors(model_dir: str):
-    from safetensors import safe_open
-
+def _safetensor_files(model_dir: str):
+    """Shard file list: the ``model.safetensors.index.json`` weight_map when
+    present (the canonical multi-file layout real 7B checkpoints ship,
+    e.g. gte-Qwen2-7B-instruct's model-0000x-of-0000N shards), else a glob."""
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    if os.path.exists(index_path):
+        with open(index_path, encoding="utf-8") as f:
+            index = json.load(f)
+        files = sorted(set(index["weight_map"].values()))
+        return [os.path.join(model_dir, name) for name in files]
     files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no .safetensors files under {model_dir}")
-    for path in files:
+    return files
+
+
+def _iter_safetensors(model_dir: str):
+    """Stream tensors shard by shard — one shard resident at a time, so a
+    sharded 7B checkpoint never needs full-checkpoint host memory."""
+    from safetensors import safe_open
+
+    for path in _safetensor_files(model_dir):
         with safe_open(path, framework="np") as f:
             for name in f.keys():
                 yield name, f.get_tensor(name)
@@ -64,6 +79,25 @@ _GEMMA_NORM_MAP = {
 }
 
 
+def quantize_linear_int8(tensor: np.ndarray) -> Dict[str, Any]:
+    """Symmetric per-output-channel int8 weight quantization.
+
+    ``w ≈ w_q * scale[:, None]`` with ``scale = max|row| / 127``. 4x the HBM
+    headroom of f32 (2x vs bf16) — the knob SURVEY §7 flags for fitting the
+    7B embedder next to a large resident index on one chip's HBM. Dequant
+    fuses into the matmul (``layers._linear``): MXU-friendly, no separate
+    dequant pass materialized.
+    """
+    w = np.asarray(tensor, dtype=np.float32)
+    scale = np.abs(w).max(axis=1) / 127.0
+    scale = np.where(scale == 0.0, 1.0, scale)
+    w_q = np.clip(np.rint(w / scale[:, None]), -127, 127).astype(np.int8)
+    return {
+        "w_q": jnp.asarray(w_q),
+        "scale": jnp.asarray(scale, jnp.float32),
+    }
+
+
 def load_decoder_params(
     model_dir: str,
     num_layers: int,
@@ -71,8 +105,18 @@ def load_decoder_params(
     gemma: bool = False,
     head_layer_sep: int = 1,
     dtype=jnp.bfloat16,
+    quant: str = "",
 ) -> Dict[str, Any]:
-    """Stream safetensors into the layers.py pytree (bf16 by default)."""
+    """Stream safetensors into the layers.py pytree (bf16 by default).
+
+    ``quant="int8"`` stores the 2-D matmul weights (attention + MLP
+    projections) as int8 with per-channel scales; embeddings, norms, biases,
+    and score heads stay in ``dtype``/f32 (they are small and
+    precision-critical). Quantization happens tensor-by-tensor during the
+    stream, so peak host memory stays one shard + one tensor.
+    """
+    if quant not in ("", "int8"):
+        raise ValueError(f"quant must be '' or 'int8', got {quant!r}")
     layers: list = [
         {"attn": {}, "mlp": {}} for _ in range(num_layers)
     ]
@@ -82,6 +126,11 @@ def load_decoder_params(
 
     def put(tensor: np.ndarray):
         return jnp.asarray(tensor).astype(dtype)
+
+    def put_linear(tensor: np.ndarray) -> Dict[str, Any]:
+        if quant == "int8":
+            return quantize_linear_int8(tensor)
+        return {"w": put(tensor)}
 
     for raw_name, tensor in _iter_safetensors(model_dir):
         name = _strip_prefix(raw_name)
@@ -106,11 +155,15 @@ def load_decoder_params(
             sub = parts[2]
             if sub == "self_attn":
                 proj = parts[3][0]  # q/k/v/o
-                kind = "w" if parts[4] == "weight" else "b"
-                layers[i]["attn"].setdefault(proj, {})[kind] = put(tensor)
+                if parts[4] == "weight":
+                    layers[i]["attn"].setdefault(proj, {}).update(
+                        put_linear(tensor)
+                    )
+                else:
+                    layers[i]["attn"].setdefault(proj, {})["b"] = put(tensor)
             elif sub == "mlp":
                 proj = parts[3].split("_")[0]  # gate/up/down
-                layers[i]["mlp"][proj] = {"w": put(tensor)}
+                layers[i]["mlp"][proj] = put_linear(tensor)
             elif sub in norm_map:
                 layers[i][norm_map[sub]] = put(tensor)
     if heads:
@@ -164,13 +217,15 @@ def params_from_state_dict(
     return params
 
 
-def load_qwen2_embedder(model_dir: str, dtype=jnp.bfloat16):
+def load_qwen2_embedder(model_dir: str, dtype=jnp.bfloat16, quant: str = ""):
     """gte-Qwen2 checkpoint -> (DecoderConfig, params)."""
     from .qwen2 import qwen2_config_from_hf
 
     hf = load_hf_config(model_dir)
     cfg = qwen2_config_from_hf(hf, dtype=dtype)
-    params = load_decoder_params(model_dir, cfg.num_hidden_layers, dtype=dtype)
+    params = load_decoder_params(
+        model_dir, cfg.num_hidden_layers, dtype=dtype, quant=quant
+    )
     return cfg, params
 
 

@@ -109,7 +109,13 @@ def attention_bias_from_mask(attention_mask: jnp.ndarray, dtype=jnp.float32) -> 
 
 
 def _linear(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    y = x @ p["w"].T
+    if "w_q" in p:
+        # int8 weight-only (per-output-channel scales, hf_loader.quantize_
+        # linear_int8): cast-to-activation-dtype matmul with the dequant
+        # fused as a column rescale — XLA folds it into the matmul epilogue
+        y = (x @ p["w_q"].T.astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["w"].T
     if "b" in p:
         y = y + p["b"]
     return y

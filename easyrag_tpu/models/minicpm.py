@@ -94,20 +94,32 @@ def _embed_tokens(cfg: DecoderConfig, params, input_ids):
     return embed(cfg, params, input_ids)
 
 
+def last_real_index(mask_np: np.ndarray) -> np.ndarray:
+    """Per-row index of the last real (mask=1) token — the scored position
+    under either padding side (``rerankers.py:193-201`` last_logit_pool)."""
+    m = np.asarray(mask_np)
+    return (m.shape[1] - 1 - np.argmax(m[:, ::-1], axis=1)).astype(np.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "layer", "scale_head_input"))
 def _layer_score(
     cfg: DecoderConfig,
     params: Dict[str, Any],
     hidden: jnp.ndarray,
     layer: int,
+    last_idx: jnp.ndarray,  # [B] index of the last real token per row
     scale_head_input: bool = True,
 ) -> jnp.ndarray:
-    """norm(hidden) -> per-sequence score at the LAST position, f32 [B]."""
+    """norm(hidden) -> per-sequence score at the last REAL position, f32 [B]
+    (mask-based pooling like the reference's ``last_logit_pool``)."""
     normed = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
     if scale_head_input and cfg.dim_model_base:
         normed = normed / (cfg.hidden_size / cfg.dim_model_base)
     head_w = params["heads"][layer]  # [1, D]
-    logits = (normed[:, -1, :].astype(jnp.float32) @ head_w.T.astype(jnp.float32))
+    pooled = jnp.take_along_axis(
+        normed, last_idx[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0, :]
+    logits = pooled.astype(jnp.float32) @ head_w.T.astype(jnp.float32)
     return logits[:, 0]
 
 
@@ -131,6 +143,7 @@ class MiniCPMLayerWiseReranker:
         efficient_t: float = 0.4,
         efficient_layers: Tuple[int, ...] = (12,),
         seq_bucket: int = 64,
+        padding_side: str = "",
     ) -> None:
         self.cfg = cfg
         self.params = params
@@ -142,6 +155,16 @@ class MiniCPMLayerWiseReranker:
         self.efficient_t = efficient_t
         self.efficient_layers = tuple(efficient_layers)
         self.seq_bucket = seq_bucket
+        # PARITY deviation #3 resolution: the reference pads through
+        # tokenizer.pad (rerankers.py:284-290), i.e. the CHECKPOINT
+        # tokenizer's declared side decides the token layout (and thus the
+        # RoPE phases). Honor it: explicit arg > tokenizer.padding_side >
+        # left (the TPU-friendly fallback for injected fake tokenizers).
+        # Scoring always pools the last REAL position (last_logit_pool),
+        # so both sides score the right token.
+        self.padding_side = (
+            padding_side or getattr(tokenizer, "padding_side", None) or "left"
+        )
         self.prompt = (
             "Given a query A and a passage B, determine whether the passage "
             "contains an answer to the query by providing a prediction of "
@@ -151,11 +174,12 @@ class MiniCPMLayerWiseReranker:
     # -- tokenization (mirrors rerankers.py:251-292) --------------------------
 
     def build_inputs(self, pairs: List[Tuple[str, str]]) -> Tuple[np.ndarray, np.ndarray]:
-        """(query, passage) pairs -> left-padded (input_ids, attention_mask).
+        """(query, passage) pairs -> padded (input_ids, attention_mask).
 
         Layout per pair: ``<bos> A: <query(<=3/4 max)> \\n B: <passage>``
         truncated to ``max_length`` keeping the query, then ``\\n <prompt>``.
-        Left padding keeps the scored position (last token) real.
+        Padding side follows ``self.padding_side`` (checkpoint tokenizer's
+        declaration); scoring pools the last real position either way.
         """
         tk = self.tokenizer
         prompt_ids = tk(self.prompt, add_special_tokens=False)["input_ids"]
@@ -191,9 +215,18 @@ class MiniCPMLayerWiseReranker:
         pad_id = tk.pad_token_id if tk.pad_token_id is not None else 0
         ids = np.full((len(rows), max_len), pad_id, dtype=np.int32)
         mask = np.zeros((len(rows), max_len), dtype=np.int32)
-        for i, r in enumerate(rows):
-            ids[i, max_len - len(r):] = r
-            mask[i, max_len - len(r):] = 1
+        if getattr(self, "padding_side", "left") == "right":
+            # checkpoint-declared right padding: real tokens at positions
+            # 0..L-1 exactly as the reference's tokenizer.pad lays them out;
+            # trailing pads are invisible to real tokens under the causal
+            # mask, so scores are batch-composition invariant
+            for i, r in enumerate(rows):
+                ids[i, : len(r)] = r
+                mask[i, : len(r)] = 1
+        else:
+            for i, r in enumerate(rows):
+                ids[i, max_len - len(r):] = r
+                mask[i, max_len - len(r):] = 1
         return ids, mask
 
     # -- scoring ---------------------------------------------------------------
@@ -222,25 +255,26 @@ class MiniCPMLayerWiseReranker:
         """
         ids_np, mask_np = self.build_inputs(pairs)
         ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+        last_idx = jnp.asarray(last_real_index(mask_np))
         hidden = _embed_tokens(self.cfg, self.params, ids)
         scale = not judge and self.use_efficient == 0  # see module docstring
         if judge and self.efficient_layers:
             j = self.efficient_layers[0]
             hidden = _segment(self.cfg, self.params, hidden, mask, 0, j)
             scores = _layer_score(
-                self.cfg, self.params, hidden, j, scale_head_input=False
+                self.cfg, self.params, hidden, j, last_idx, scale_head_input=False
             )
             if self._judge_quit(np.asarray(scores)):
                 return np.asarray(scores), j
             hidden = _segment(self.cfg, self.params, hidden, mask, j, self.cutoff_layer)
             scores = _layer_score(
-                self.cfg, self.params, hidden, self.cutoff_layer,
+                self.cfg, self.params, hidden, self.cutoff_layer, last_idx,
                 scale_head_input=False,
             )
             return np.asarray(scores), self.cutoff_layer
         hidden = _segment(self.cfg, self.params, hidden, mask, 0, self.cutoff_layer)
         scores = _layer_score(
-            self.cfg, self.params, hidden, self.cutoff_layer,
+            self.cfg, self.params, hidden, self.cutoff_layer, last_idx,
             scale_head_input=scale,
         )
         return np.asarray(scores), self.cutoff_layer

@@ -29,7 +29,13 @@ def _load_tokenizer(model_dir: str):
     return AutoTokenizer.from_pretrained(model_dir, trust_remote_code=True)
 
 
-def load_embedder(name: str, cache_folder: str = "", embed_type: int = 0, mesh=None):
+def load_embedder(
+    name: str,
+    cache_folder: str = "",
+    embed_type: int = 0,
+    mesh=None,
+    quant: str = "",
+):
     """Dense embedder by name. GTE/Zhihui names use the Qwen2 last-token-pool
     contract (``pipeline.py:100-108``); other names use a mean-pool
     sentence-transformers-style contract (``pipeline.py:109-115``).
@@ -46,7 +52,7 @@ def load_embedder(name: str, cache_folder: str = "", embed_type: int = 0, mesh=N
         from .hf_loader import load_qwen2_embedder
         from .qwen2 import GTEEmbedder
 
-        cfg, params = load_qwen2_embedder(model_dir)
+        cfg, params = load_qwen2_embedder(model_dir, quant=quant)
         # flash attention on TPU when the head dim tiles onto the lanes
         # (gte-Qwen2-7B: head_dim 128); falls back to einsum otherwise
         if jax.default_backend() != "cpu" and cfg.hd % 128 == 0:
@@ -92,7 +98,10 @@ def load_reranker(
             cfg = dataclasses.replace(cfg, use_flash=True)
         scorer = MiniCPMLayerWiseReranker(
             cfg, params, _load_tokenizer(model_dir),
-            start_layer=start_layer, cutoff_layer=28,
+            start_layer=start_layer,
+            # the reference's fixed cutoff (rerankers.py:162) clamped to the
+            # checkpoint's depth so reduced/test checkpoints load too
+            cutoff_layer=min(28, cfg.num_hidden_layers),
             use_efficient=use_efficient,
         )
         return LLMRerank(

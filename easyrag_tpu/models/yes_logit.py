@@ -22,10 +22,10 @@ from .minicpm import MiniCPMLayerWiseReranker
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def _yes_score(cfg: DecoderConfig, params, yes_row, input_ids, attention_mask):
+def _yes_score(cfg: DecoderConfig, params, yes_row, input_ids, attention_mask, last_idx):
     h = forward_hidden(cfg, params, input_ids, attention_mask)
-    last = h[:, -1, :].astype(jnp.float32)
-    return last @ yes_row.astype(jnp.float32)
+    last = jnp.take_along_axis(h, last_idx[:, None, None].astype(jnp.int32), axis=1)
+    return last[:, 0, :].astype(jnp.float32) @ yes_row.astype(jnp.float32)
 
 
 class YesLogitScorer:
@@ -43,6 +43,9 @@ class YesLogitScorer:
         self._builder.tokenizer = tokenizer
         self._builder.max_length = max_length
         self._builder.seq_bucket = 64
+        self._builder.padding_side = (
+            getattr(tokenizer, "padding_side", None) or "left"
+        )
         self._builder.prompt = (
             "Given a query A and a passage B, determine whether the passage "
             "contains an answer to the query by providing a prediction of "
@@ -66,7 +69,10 @@ class YesLogitScorer:
         self, pairs: List[Tuple[str, str]], judge: bool = False
     ) -> Tuple[np.ndarray, int]:
         ids, mask = MiniCPMLayerWiseReranker.build_inputs(self._builder, pairs)
+        from .minicpm import last_real_index
+
         scores = _yes_score(
-            self.cfg, self.params, self.yes_row, jnp.asarray(ids), jnp.asarray(mask)
+            self.cfg, self.params, self.yes_row, jnp.asarray(ids),
+            jnp.asarray(mask), jnp.asarray(last_real_index(mask)),
         )
         return np.asarray(scores), self.cfg.num_hidden_layers

@@ -38,7 +38,15 @@ def shard_decoder_params(
     col_b, rep = ns(P(axis)), ns(P())
 
     def shard_dense(p, col: bool):
-        out = {"w": jax.device_put(p["w"], col_w if col else row_w)}
+        if "w_q" in p:  # int8 weight-only (hf_loader.quantize_linear_int8)
+            out = {
+                "w_q": jax.device_put(p["w_q"], col_w if col else row_w),
+                # per-OUTPUT-channel scales: sharded with the output dim in
+                # column-parallel layers, replicated in row-parallel ones
+                "scale": jax.device_put(p["scale"], col_b if col else rep),
+            }
+        else:
+            out = {"w": jax.device_put(p["w"], col_w if col else row_w)}
         if "b" in p:
             out["b"] = jax.device_put(p["b"], col_b if col else rep)
         return out

@@ -129,6 +129,7 @@ class EasyRAGPipeline:
                 cache_folder=cfg.hfmodel_cache_folder,
                 embed_type=cfg.f_embed_type_1,
                 mesh=self.mesh,
+                quant=cfg.tpu.embedder_quant,
             )
 
         # corpus -> nodes, with artifact fast boot (the reference reuses a

@@ -190,11 +190,50 @@ def test_layerwise_cutoff_scoring_consistency():
 
 def test_build_inputs_left_padding_and_multiple_of_8():
     scorer = _scorer()
+    assert scorer.padding_side == "left"  # FakeTok declares nothing
     ids, mask = scorer.build_inputs([("short q", "short p"), ("q" * 40, "p" * 300)])
     assert ids.shape[1] % 8 == 0
     # left padded: every row ends with a real token
     assert (mask[:, -1] == 1).all()
     assert mask[0, 0] == 0  # shorter row starts with padding
+
+
+def test_padding_side_follows_checkpoint_tokenizer():
+    """PARITY deviation #3: the checkpoint tokenizer's declared padding side
+    decides the token layout (reference pads via tokenizer.pad,
+    rerankers.py:284-290); scoring pools the last REAL position either way
+    (last_logit_pool, rerankers.py:193-201)."""
+    scorer = _scorer()
+    scorer.tokenizer.padding_side = "right"
+    from easyrag_tpu.models.minicpm import MiniCPMLayerWiseReranker
+
+    right = MiniCPMLayerWiseReranker(
+        scorer.cfg, scorer.params, scorer.tokenizer, start_layer=1, cutoff_layer=3
+    )
+    assert right.padding_side == "right"
+    pairs = [("short q", "short p"), ("q" * 40, "p" * 300)]
+    ids, mask = right.build_inputs(pairs)
+    assert (mask[:, 0] == 1).all()  # rows start with real tokens
+    assert mask[0, -1] == 0  # shorter row ends with padding
+
+    # mask-derived scored position
+    from easyrag_tpu.models.minicpm import last_real_index
+
+    li = last_real_index(mask)
+    assert (li == mask.sum(axis=1) - 1).all()
+
+    # with right padding + causal masking the score is batch-composition
+    # invariant: a pair scored alone equals the same pair in a ragged batch
+    batch_scores, _ = right.score_pairs(pairs)
+    solo_scores = [right.score_pairs([p])[0][0] for p in pairs]
+    np.testing.assert_allclose(batch_scores, solo_scores, rtol=2e-4, atol=1e-5)
+
+    # explicit arg overrides the tokenizer's declaration
+    forced = MiniCPMLayerWiseReranker(
+        scorer.cfg, scorer.params, scorer.tokenizer, start_layer=1,
+        cutoff_layer=3, padding_side="left",
+    )
+    assert forced.padding_side == "left"
 
 
 def test_early_exit_protocol():

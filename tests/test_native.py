@@ -52,11 +52,19 @@ def test_native_build_speed():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t_native = best_of(lambda: build_index_native(corpus))
-    t_python = best_of(lambda: build_sparse_index(corpus, use_native=False))
-    # the C++ core must beat the python loop even counting the flat-buffer
-    # marshalling; generous margin for shared-machine timing noise
-    assert t_native < t_python * 1.2, (t_native, t_python)
+    # comparative timing on a shared machine is inherently noisy (ROADMAP
+    # "Robustness": one observed flake under heavy load) — retry the whole
+    # comparison a few times before declaring the C++ core slow
+    attempts = []
+    for _ in range(3):
+        t_native = best_of(lambda: build_index_native(corpus))
+        t_python = best_of(lambda: build_sparse_index(corpus, use_native=False))
+        attempts.append((t_native, t_python))
+        # the C++ core must beat the python loop even counting the
+        # flat-buffer marshalling; generous margin for timing noise
+        if t_native < t_python * 1.2:
+            return
+    raise AssertionError(f"native build never beat python: {attempts}")
 
 
 def test_empty_and_single_doc():
