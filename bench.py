@@ -164,6 +164,7 @@ def main() -> None:
     ours_qps = done / best
 
     dense_qps, dense_ratio = bench_dense(rng)
+    rr_ms, rr_mfu = bench_reranker()
 
     print(
         json.dumps(
@@ -175,6 +176,8 @@ def main() -> None:
                 "extra": {
                     "dense_cosine_qps_20k_docs_3584d_top288": round(dense_qps, 2),
                     "dense_vs_cpu_flat_scan": round(dense_ratio, 2),
+                    "reranker_2b_batch32x1064_cutoff28_ms": round(rr_ms, 1),
+                    "reranker_mfu_pct": round(rr_mfu, 1),
                 },
             }
         )
@@ -223,6 +226,48 @@ def bench_dense(rng) -> tuple:
     np.argpartition(-scores, K, axis=1)[:, :K]
     cpu_qps = BASELINE_QUERIES / (time.perf_counter() - t0)
     return ours_qps, ours_qps / cpu_qps
+
+
+def bench_reranker() -> tuple:
+    """The pipeline's dominant stage (SURVEY §3 hot loop #1): one reranker
+    batch at true bge-reranker-v2-minicpm-layerwise scale (hidden 2304,
+    36x64 heads, inter 5760) — 32 pairs x 1064 tokens through 28 layers with
+    the flash64 kernel. Weights are random and generated ON DEVICE (uploads
+    crawl through the tunnel); timing is identical to real weights. Returns
+    (ms_per_batch, useful-work MFU %)."""
+    import jax
+    import jax.numpy as jnp
+
+    from easyrag_tpu.models.layers import DecoderConfig, init_params
+    from easyrag_tpu.models.minicpm import _segment
+
+    PEAK = 197e12  # v5e bf16 peak
+    B, S, L = 32, 1064, 28
+    cfg = DecoderConfig(
+        vocab_size=512,  # embed unused; _segment starts from hidden states
+        hidden_size=2304, intermediate_size=5760,
+        num_hidden_layers=L, num_attention_heads=36, num_key_value_heads=36,
+        scale_emb=12.0, scale_depth=1.4, dim_model_base=256.0,
+        use_flash=jax.default_backend() != "cpu", dtype=jnp.bfloat16,
+    )
+    params = init_params(cfg, jax.random.key(0))
+    hidden = jax.random.normal(jax.random.key(1), (B, S, 2304), jnp.bfloat16)
+    mask = jnp.ones((B, S), jnp.int32)
+
+    def run():
+        h = _segment(cfg, params, hidden, mask, 0, L)
+        return float(h.astype(jnp.float32).sum())  # checksum barrier
+
+    run()  # warmup/compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    dense_flops = 2 * (4 * 2304 * 2304 + 3 * 2304 * 5760) * B * S * L
+    attn_flops = 4 * B * 36 * S * S * 64 * L // 2  # causal
+    mfu = (dense_flops + attn_flops) / best / PEAK * 100
+    return best * 1000.0, mfu
 
 
 if __name__ == "__main__":
