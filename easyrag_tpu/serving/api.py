@@ -105,6 +105,14 @@ def create_app(pipeline: EasyRAGPipeline):
     async def test(_request):
         return web.json_response("hello rag")
 
+    @routes.get("/ui")
+    async def ui(_request):
+        # dependency-free browser client (the reference's streamlit layout
+        # without the streamlit runtime — src/webui.py:20-47)
+        from .webui import HTML_PAGE
+
+        return web.Response(text=HTML_PAGE, content_type="text/html")
+
     @routes.post("/v1/rag")
     async def rag(request):
         try:

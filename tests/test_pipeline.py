@@ -414,6 +414,19 @@ def test_api_contract(tmp_path):
         try:
             resp = await client.get("/test")
             assert await resp.json() == "hello rag"
+            # dependency-free browser client served by the API itself: the
+            # reference's streamlit layout (query box, document dropdown,
+            # answer + expandable contexts) without the streamlit runtime
+            resp = await client.get("/ui")
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/html")
+            page = await resp.text()
+            for needle in (
+                "EasyRAG-TPU 问答", 'id="query"', 'id="document"',
+                "director", "emsplus", "rcp", "umac",
+                'fetch("/v1/rag"', "details",
+            ):
+                assert needle in page, needle
             resp = await client.post(
                 "/v1/rag", json={"query": "CDU虚机扩容的最大SC个数是多少？"}
             )
