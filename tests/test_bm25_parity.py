@@ -173,6 +173,38 @@ def test_topk_reference_tie_order():
     np.testing.assert_array_equal(scores[unstable[:50]], np.asarray(vals))
 
 
+def test_two_stage_topk_bit_identical():
+    """The chunked two-stage top-k must match the single-stage flip-trick
+    path bit-for-bit — including heavy ties, all--inf rows, and -inf
+    interleaved with ties (the dir-filter regime)."""
+    import jax.numpy as jnp
+
+    import easyrag_tpu.ops.topk as topk_mod
+    from easyrag_tpu.ops.topk import _pick_chunks, topk_desc_reference_order
+
+    n, k = 8192, 288
+    assert _pick_chunks(n, k) > 1  # the case below really takes 2-stage
+    rng = np.random.default_rng(3)
+    scores = rng.integers(0, 7, size=(5, n)).astype(np.float32)  # many ties
+    scores[1] = -np.inf  # fully filtered row
+    scores[2, rng.integers(0, n, 6000)] = -np.inf  # mostly filtered
+    scores[3] = 1.0  # one global tie
+
+    v2, i2 = topk_desc_reference_order(jnp.asarray(scores), k)
+    # force the single-stage path for the oracle
+    orig = topk_mod._pick_chunks
+    topk_mod._pick_chunks = lambda n_, k_: 1
+    try:
+        v1, i1 = topk_desc_reference_order(jnp.asarray(scores), k)
+    finally:
+        topk_mod._pick_chunks = orig
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+    # and both equal the numpy stable-descending reference
+    ref_order = scores.argsort(axis=1, kind="stable")[:, ::-1][:, :k]
+    np.testing.assert_array_equal(np.asarray(i1), ref_order)
+
+
 def test_score_topk_filter_semantics(corpus):
     """bm25_score_topk must reproduce the reference filter(): argsort desc,
     drop score<=0, dir equality filter, truncate to top-k."""
