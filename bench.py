@@ -228,27 +228,46 @@ def bench_dense(rng) -> tuple:
     return ours_qps, ours_qps / cpu_qps
 
 
+# -- shared reranker-bench definitions (tools/bench_reranker.py imports
+# these so the exploration tool and the driver metric can't drift) --------
+V5E_BF16_PEAK = 197e12
+
+# true bge-reranker-v2-minicpm-layerwise architecture
+RERANKER_2B = dict(
+    vocab_size=512,  # embed unused; _segment starts from hidden states
+    hidden_size=2304, intermediate_size=5760,
+    num_attention_heads=36, num_key_value_heads=36,
+    scale_emb=12.0, scale_depth=1.4, dim_model_base=256.0,
+)
+
+
+def reranker_useful_flops(batch: int, seq: int, layers: int) -> float:
+    """FLOPs of the UNPADDED reranker workload (dense projections + causal
+    attention) — the MFU denominator."""
+    d, i, h = 2304, 5760, 36
+    dense = 2 * (4 * d * d + 3 * d * i) * batch * seq * layers
+    attn = 4 * batch * h * seq * seq * 64 * layers // 2  # causal
+    return dense + attn
+
+
 def bench_reranker() -> tuple:
     """The pipeline's dominant stage (SURVEY §3 hot loop #1): one reranker
-    batch at true bge-reranker-v2-minicpm-layerwise scale (hidden 2304,
-    36x64 heads, inter 5760) — 32 pairs x 1064 tokens through 28 layers with
-    the flash64 kernel. Weights are random and generated ON DEVICE (uploads
-    crawl through the tunnel); timing is identical to real weights. Returns
-    (ms_per_batch, useful-work MFU %)."""
+    batch at true bge-reranker-v2-minicpm-layerwise scale — 32 pairs x 1064
+    tokens through 28 layers with the flash64 kernel. Weights are random and
+    generated ON DEVICE (uploads crawl through the tunnel); timing is
+    identical to real weights. Returns (ms_per_batch, useful-work MFU %)."""
     import jax
     import jax.numpy as jnp
 
     from easyrag_tpu.models.layers import DecoderConfig, init_params
     from easyrag_tpu.models.minicpm import _segment
 
-    PEAK = 197e12  # v5e bf16 peak
     B, S, L = 32, 1064, 28
     cfg = DecoderConfig(
-        vocab_size=512,  # embed unused; _segment starts from hidden states
-        hidden_size=2304, intermediate_size=5760,
-        num_hidden_layers=L, num_attention_heads=36, num_key_value_heads=36,
-        scale_emb=12.0, scale_depth=1.4, dim_model_base=256.0,
-        use_flash=jax.default_backend() != "cpu", dtype=jnp.bfloat16,
+        num_hidden_layers=L,
+        use_flash=jax.default_backend() != "cpu",
+        dtype=jnp.bfloat16,
+        **RERANKER_2B,
     )
     params = init_params(cfg, jax.random.key(0))
     hidden = jax.random.normal(jax.random.key(1), (B, S, 2304), jnp.bfloat16)
@@ -264,9 +283,7 @@ def bench_reranker() -> tuple:
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
-    dense_flops = 2 * (4 * 2304 * 2304 + 3 * 2304 * 5760) * B * S * L
-    attn_flops = 4 * B * 36 * S * S * 64 * L // 2  # causal
-    mfu = (dense_flops + attn_flops) / best / PEAK * 100
+    mfu = reranker_useful_flops(B, S, L) / best / V5E_BF16_PEAK * 100
     return best * 1000.0, mfu
 
 

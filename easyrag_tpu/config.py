@@ -135,9 +135,17 @@ class EasyRAGConfig:
         known = {f.name: f for f in dataclasses.fields(cls)}
         kwargs: Dict[str, Any] = {}
         extra: Dict[str, Any] = {}
+        tpu_fields = {f.name for f in dataclasses.fields(TPUConfig)}
         for key, value in raw.items():
             if key == "tpu" and isinstance(value, dict):
-                kwargs["tpu"] = TPUConfig(**value)
+                # unknown tpu.* knobs survive in extra (like fire's dict
+                # merge at the top level) instead of a raw TypeError
+                kwargs["tpu"] = TPUConfig(
+                    **{k: v for k, v in value.items() if k in tpu_fields}
+                )
+                for k, v in value.items():
+                    if k not in tpu_fields:
+                        extra[f"tpu.{k}"] = v
             elif key in known:
                 kwargs[key] = value
             else:
@@ -185,7 +193,10 @@ def apply_overrides(raw: Dict[str, Any], overrides: Dict[str, Any]) -> None:
     for key, value in overrides.items():
         if "." in key:
             head, _, rest = key.partition(".")
-            section = raw.setdefault(head, {})
+            section = raw.get(head)
+            if section is None:  # absent, or a bare `tpu:` line (YAML None)
+                section = {}
+                raw[head] = section
             if not isinstance(section, dict):
                 raise ValueError(f"cannot set {key!r}: {head!r} is not a section")
             section[rest] = value

@@ -153,7 +153,13 @@ class MiniCPMLayerWiseReranker:
         self.max_length = max_length
         self.use_efficient = use_efficient
         self.efficient_t = efficient_t
-        self.efficient_layers = tuple(efficient_layers)
+        # clamp judge layers into [start_layer, cutoff_layer] so reduced /
+        # test checkpoints (depth < the reference's 40) can run the
+        # early-exit protocol: every judge layer must have a score head
+        # (heads exist from start_layer up) and lie inside the run segment
+        self.efficient_layers = tuple(
+            max(start_layer, min(j, cutoff_layer)) for j in efficient_layers
+        )
         self.seq_bucket = seq_bucket
         # PARITY deviation #3 resolution: the reference pads through
         # tokenizer.pad (rerankers.py:284-290), i.e. the CHECKPOINT

@@ -35,6 +35,9 @@ class YesLogitScorer:
         self.params = params
         self.tokenizer = tokenizer
         self.max_length = max_length
+        # scorer-protocol attribute (LLMRerank save/restore and the serving
+        # CoalescingScorer read it); this family always runs the full stack
+        self.cutoff_layer = cfg.num_hidden_layers
         yes_loc = tokenizer("Yes", add_special_tokens=False)["input_ids"][0]
         head = params.get("lm_head", params["embed"])  # tied when absent
         self.yes_row = head[yes_loc]

@@ -46,7 +46,13 @@ def init_distributed(
 
     if num_processes is None or num_processes <= 1:
         return
-    if jax.config.jax_platforms == "cpu":
+    # gloo only configures the CPU backend's cross-process collectives, so
+    # select it whenever the CPU platform may be in play: explicitly chosen,
+    # listed among several, or unset (auto-resolution may land on cpu —
+    # checking jax.default_backend() here would initialize the backend,
+    # which must not happen before jax.distributed.initialize)
+    platforms = jax.config.jax_platforms or ""
+    if platforms == "" or "cpu" in platforms.split(","):
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

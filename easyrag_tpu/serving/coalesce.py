@@ -28,6 +28,7 @@ the queue.
 
 from __future__ import annotations
 
+import collections
 import threading
 import time
 from typing import Any, Dict, List, Optional, Tuple
@@ -63,8 +64,9 @@ class CoalescingScorer:
         self._queue: List[_Request] = []
         self._thread: Optional[threading.Thread] = None
         self._closed = False
-        # telemetry: batch sizes of real dispatches (tests + observability)
-        self.dispatch_sizes: List[int] = []
+        # telemetry: batch sizes of recent real dispatches (tests +
+        # observability); bounded so a long-running server doesn't leak
+        self.dispatch_sizes: collections.deque = collections.deque(maxlen=4096)
 
     # -- per-thread cutoff view ------------------------------------------------
 

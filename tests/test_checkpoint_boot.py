@@ -188,6 +188,14 @@ def test_minicpm_loader_reads_padding_side_and_heads(minicpm_checkpoint):
 
     reranker = load_reranker(minicpm_checkpoint, top_n=2, embed_bs=4, embed_type=0)
     scorer = reranker.scorer
+    # the judge layer (default 12) is clamped into the reduced checkpoint's
+    # depth so the early-exit protocol can't index past the layer stack
+    eff = load_reranker(
+        minicpm_checkpoint, top_n=2, embed_bs=4, embed_type=0, use_efficient=1
+    ).scorer
+    assert eff.efficient_layers == (3,)
+    s, layer = eff.score_pairs([("w1", "w2"), ("w3", "w4")], judge=True)
+    assert layer in (3,) and np.isfinite(s).all()
     # PARITY #3: the checkpoint tokenizer declares right padding -> honored
     assert scorer.padding_side == "right"
     assert scorer.start_layer == 1

@@ -132,6 +132,16 @@ def test_set_override_parsing_and_merge(tmp_path):
     # unknown keys survive like fire's dict merge (EasyRAGConfig.extra)
     assert cfg.extra["custom_extra"] == "x"
 
+    # a bare `tpu:` line parses to None — dotted overrides must still land
+    cfg_file2 = tmp_path / "c2.yaml"
+    cfg_file2.write_text("retrieval_type: 2\ntpu:\n", encoding="utf-8")
+    cfg2 = load_config(str(cfg_file2), set_specs=["tpu.query_batch=8"])
+    assert cfg2.tpu.query_batch == 8
+
+    # unknown tpu.* knobs survive in extra instead of a TypeError
+    cfg3 = load_config(str(cfg_file), set_specs=["tpu.not_a_knob=1"])
+    assert cfg3.extra["tpu.not_a_knob"] == 1
+
 
 def test_embedder_bucketing_shapes():
     import jax

@@ -119,6 +119,41 @@ def test_judge_protocol_unfused_with_cutoff_isolation():
     assert proxy.cutoff_layer == 28
 
 
+def test_coalescer_tolerates_yes_logit_scorer():
+    """YesLogitScorer exposes cutoff_layer (the scorer protocol), so the
+    generic-reranker serve path coalesces without AttributeError."""
+    import jax
+
+    from easyrag_tpu.models.layers import DecoderConfig, init_params
+    from easyrag_tpu.models.yes_logit import YesLogitScorer
+
+    cfg = DecoderConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+    )
+    params = init_params(cfg, jax.random.key(0))
+
+    class FakeTok:
+        bos_token_id = 1
+        pad_token_id = 0
+
+        def __call__(self, text, add_special_tokens=False, max_length=None,
+                     truncation=False):
+            ids = [(hash(ch) % 120) + 2 for ch in text]
+            if max_length is not None and truncation:
+                ids = ids[:max_length]
+            return {"input_ids": ids}
+
+    scorer = YesLogitScorer(cfg, params, FakeTok(), max_length=64)
+    assert scorer.cutoff_layer == 2
+    proxy = CoalescingScorer(scorer, max_batch=2, window_ms=10)
+    try:
+        scores, layer = proxy.score_pairs([("q", "p"), ("q2", "p2")])
+        assert scores.shape == (2,) and layer == 2
+    finally:
+        proxy.close()
+
+
 def test_error_fans_out_to_all_fused_requests():
     class Boom(FakeScorer):
         def score_pairs(self, pairs, judge=False):

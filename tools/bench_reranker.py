@@ -18,7 +18,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-PEAK = 197e12  # v5e bf16
+from bench import RERANKER_2B, V5E_BF16_PEAK, reranker_useful_flops  # noqa: E402
+
+PEAK = V5E_BF16_PEAK
 
 
 def main():
@@ -39,18 +41,12 @@ def main():
 
     def cfg_for(use_flash, blocks=None):
         return DecoderConfig(
-            vocab_size=512,  # embed unused; _segment starts from hidden
-            hidden_size=2304, intermediate_size=5760,
-            num_hidden_layers=L, num_attention_heads=36,
-            num_key_value_heads=36, scale_emb=12.0, scale_depth=1.4,
-            dim_model_base=256.0, use_flash=use_flash, flash_blocks=blocks,
-            dtype=jnp.bfloat16,
+            num_hidden_layers=L, use_flash=use_flash, flash_blocks=blocks,
+            dtype=jnp.bfloat16, **RERANKER_2B,
         )
 
     def useful_flops(S):
-        dense = 2 * (4 * 2304 * 2304 + 3 * 2304 * 5760) * B * S * L
-        attn = 4 * B * 36 * S * S * 64 * L // 2  # causal
-        return dense + attn
+        return reranker_useful_flops(B, S, L)
 
     base_params = init_params(cfg_for(False), jax.random.key(0))
 
