@@ -257,6 +257,11 @@ class ShardedResidentSparseIndex:
 
         return ResidentSparseIndex.query_terms(self, query_tokens)
 
+    def query_terms_batch(self, queries_tokens):
+        from ..ops.bm25_resident import ResidentSparseIndex
+
+        return ResidentSparseIndex.query_terms_batch(self, queries_tokens)
+
     @functools.partial(jax.jit, static_argnames=("self", "k"))
     def _score_topk_impl(
         self, heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
@@ -341,8 +346,7 @@ class ShardedResidentSparseIndex:
         )
 
     def score_topk(self, queries_tokens, k: int, dir_values=None):
-        ids = np.stack([self.query_terms(q)[0] for q in queries_tokens])
-        cnts = np.stack([self.query_terms(q)[1] for q in queries_tokens])
+        ids, cnts = self.query_terms_batch(queries_tokens)
         dir_f = None
         if dir_values is not None and self.dir_col is not None:
             dir_f = jnp.asarray(
@@ -386,9 +390,9 @@ class ShardedResidentSparseIndex:
         Q = len(queries_tokens)
         n_batches = (Q + batch - 1) // batch
         padded = list(queries_tokens) + [[]] * (n_batches * batch - Q)
-        prep = [self.query_terms(q) for q in padded]
-        ids = np.stack([p[0] for p in prep]).reshape(n_batches, batch, -1)
-        cnts = np.stack([p[1] for p in prep]).reshape(n_batches, batch, -1)
+        ids, cnts = self.query_terms_batch(padded)
+        ids = ids.reshape(n_batches, batch, -1)
+        cnts = cnts.reshape(n_batches, batch, -1)
         dir_f = None
         if dir_values is not None and self.dir_col is not None:
             dvals = list(dir_values) + [None] * (n_batches * batch - Q)

@@ -228,13 +228,20 @@ class BM25Retriever:
             self.filter_dict = saved
             return out
         tokens = [self._tokenize_query(qb.query_str) for qb in query_bundles]
-        rows, overflow = [], {}
-        for i, toks in enumerate(tokens):
-            try:
-                rows.append(self._resident.query_terms(toks))
-            except ValueError:
-                rows.append(None)
-                overflow[i] = toks
+        rows: List[Optional[tuple]] = []
+        overflow: Dict[int, List[str]] = {}
+        try:
+            # vectorized prep for the whole stream (the common case)
+            bids, bcnts = self._resident.query_terms_batch(tokens)
+            rows = [(bids[i], bcnts[i]) for i in range(len(tokens))]
+        except ValueError:
+            # some query overflowed the term budget: isolate it per query
+            for i, toks in enumerate(tokens):
+                try:
+                    rows.append(self._resident.query_terms(toks))
+                except ValueError:
+                    rows.append(None)
+                    overflow[i] = toks
         dir_fs = []
         for i in range(len(query_bundles)):
             fd = filter_dicts[i] if filter_dicts else None

@@ -159,3 +159,34 @@ def test_query_terms_overflow_raises(setup):
     _, _, resident, _ = setup
     with pytest.raises(ValueError):
         resident.query_terms([f"w{i}" for i in range(40)])
+
+
+def test_query_terms_batch_matches_scalar(setup):
+    """Vectorized prep == per-query prep as (term -> count) maps, across
+    duplicates, unknown tokens, and empty queries; overflow still raises."""
+    corpus, _, resident, _ = setup
+    rng = np.random.default_rng(3)
+    queries = []
+    for i in range(37):
+        doc = corpus[rng.integers(0, len(corpus))]
+        take = rng.choice(len(doc), size=min(10, len(doc)), replace=True)
+        q = [doc[j] for j in take] + ["UNKNOWN_TOKEN"] * (i % 3)
+        queries.append(q)
+    queries.append([])  # empty query row
+    bids, bcnts = resident.query_terms_batch(queries)
+    assert bids.shape == (len(queries), resident.max_query_terms)
+    for i, q in enumerate(queries):
+        sid, scnt = resident.query_terms(q)
+        want = {
+            int(t): float(c)
+            for t, c in zip(sid, scnt)
+            if t != resident.V
+        }
+        got = {
+            int(t): float(c)
+            for t, c in zip(bids[i], bcnts[i])
+            if t != resident.V
+        }
+        assert got == want
+    with pytest.raises(ValueError, match="distinct terms"):
+        resident.query_terms_batch([["w0"], [f"w{i}" for i in range(40)]])

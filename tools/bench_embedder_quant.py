@@ -11,6 +11,7 @@ Run: python tools/bench_embedder_quant.py [--iters 3]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -25,6 +26,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seq", type=int, default=512)
+    ap.add_argument(
+        "--tiny", action="store_true",
+        help="2-layer toy model: smoke-tests the tool itself (CPU-safe)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -33,12 +38,19 @@ def main():
     from easyrag_tpu.models.layers import DecoderConfig, forward_hidden, init_params
 
     # gte-Qwen2-7B-instruct architecture
-    cfg = DecoderConfig(
-        vocab_size=512,  # embed table is a small fraction; shrink for setup
+    arch = dict(
         hidden_size=3584, intermediate_size=18944,
         num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
+    )
+    if args.tiny:
+        arch = dict(
+            hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=1,
+        )
+    cfg = DecoderConfig(
+        vocab_size=512,  # embed table is a small fraction; shrink for setup
         attention_bias=True, use_flash=jax.default_backend() != "cpu",
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, **arch,
     )
     B, S = args.batch, args.seq
 
@@ -49,9 +61,13 @@ def main():
 
     def quantize_on_device(params):
         """Turn every 2-D matmul weight into int8 + per-channel scale, on
-        device (host-side quantization of 7B f32 would need 28 GB RAM)."""
+        device (host-side quantization of 7B f32 would need 28 GB RAM).
 
-        @jax.jit
+        DESTRUCTIVE: consumes ``params`` leaf by leaf (donated buffers) so
+        the bf16 and int8 trees never coexist — together they would not
+        fit a 16 GB chip at 7B scale."""
+
+        @functools.partial(jax.jit, donate_argnums=0)
         def q8(w):
             wf = w.astype(jnp.float32)
             scale = jnp.abs(wf).max(axis=1) / 127.0
@@ -66,35 +82,41 @@ def main():
             for group in ("attn", "mlp"):
                 new[group] = {}
                 for name, leaf in layer[group].items():
-                    wq, scale = q8(leaf["w"])
+                    wq, scale = q8(leaf.pop("w"))
                     ql = {"w_q": wq, "scale": scale}
                     if "b" in leaf:
                         ql["b"] = leaf["b"]
                     new[group][name] = ql
             out["layers"].append(new)
+            layer.clear()
+        params["layers"].clear()
         return out
 
     params = init_params(cfg, jax.random.key(0))
     ids = jax.random.randint(jax.random.key(1), (B, S), 0, 512)
     mask = jnp.ones((B, S), jnp.int32)
 
+    d, i, hd = cfg.hidden_size, cfg.intermediate_size, cfg.hd
+    nh, nkv, L = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.num_hidden_layers
+    # dense: q+o = 2*d*nh*hd, k+v = 2*d*nkv*hd, mlp = 3*d*i (per token-layer)
     flops = (
-        2 * B * S * cfg.num_hidden_layers
-        * (2 * 3584 * (28 + 4 + 4) * 128 + 3584 * 3584 + 3 * 3584 * 18944)
-        + 4 * B * 28 * S * S * 128 * cfg.num_hidden_layers // 2
+        2 * B * S * L * (2 * d * nh * hd + 2 * d * nkv * hd + 3 * d * i)
+        + 4 * B * nh * S * S * hd * L // 2  # causal attention
     )
 
-    def bench(name, p):
-        @jax.jit
-        def run():
-            h = forward_hidden(cfg, p, ids, mask)
-            return h.astype(jnp.float32).sum()
+    # params/ids must be jit ARGUMENTS: a closure would capture the 13 GB
+    # tree as HLO constants and blow the remote-compile program size limit
+    @jax.jit
+    def run(p, ids, mask):
+        h = forward_hidden(cfg, p, ids, mask)
+        return h.astype(jnp.float32).sum()
 
-        float(run())  # compile
+    def bench(name, p):
+        float(run(p, ids, mask))  # compile
         best = float("inf")
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            float(run())
+            float(run(p, ids, mask))
             best = min(best, time.perf_counter() - t0)
         print(
             f"{name}: {best*1000:.0f} ms  {B*S/best/1000:.1f}k tok/s  "
