@@ -28,7 +28,7 @@ import numpy as np
 N_DOCS = 20_000
 VOCAB = 40_000
 DOC_LEN_MEAN = 300
-N_QUERIES = 1024  # large enough that the ~30ms tunnel round trip amortizes
+N_QUERIES = 4096  # large enough that the ~30ms tunnel round trip amortizes
 QUERY_TERMS = 12
 BATCH = 64
 TOPK = 192
