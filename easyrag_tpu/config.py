@@ -43,6 +43,11 @@ class TPUConfig:
     # HBM budget for the heavy matrix; smaller budgets raise the auto
     # light_cap (more gather work), larger ones lower it (more MXU work)
     sparse_heavy_hbm_budget: int = 512 * 1024 * 1024
+    # shard the retrieval indexes (sparse postings + dense matrix) over the
+    # mesh "data" axis: per-shard scoring + local top-k + all-gather merge
+    # (parallel/sharded.py). Requires mesh_shape with a "data" axis > 1;
+    # results are identical to the single-chip indexes.
+    shard_index: bool = False
 
 
 @dataclass

@@ -164,6 +164,49 @@ def _resident_score_topk_stream(
     return tvs, tis, tis.sum()
 
 
+def auto_light_cap(
+    lens: np.ndarray,
+    num_docs: int,
+    itemsize: int,
+    heavy_hbm_budget: int,
+    max_query_terms: int,
+) -> int:
+    """Pick the light/heavy split cap by cost model rather than taking the
+    smallest cap that fits the budget. Per scan step,
+
+      heavy ~ H(cap) * num_docs * itemsize / BW   (the matmul streams the
+        heavy matrix at the HBM roofline — measured 899 GB/s on v5e once
+        host prep is excluded)
+      light ~ KAPPA * B * T * cap^2               (gather+scatter tail;
+        empirically quadratic in cap — scatter conflicts grow with the
+        postings-window length)
+
+    Constants fit the measured v5e curve at 20k docs / B=64 / T=16 (qps:
+    cap 16 -> 8.3k, 32 -> 9.4k, 64 -> 10.3k, 128 -> 8.0k, 256 -> 4.3k; the
+    model reproduces the ordering and the knee). The budget stays a hard
+    constraint; itemsize scales the heavy term, so compressed heavy dtypes
+    shift the optimum lower. Sharded indexes pass their per-shard doc count
+    as ``num_docs`` (the budget is per shard)."""
+    BW_BYTES_PER_MS = 899e6
+    KAPPA_MS = 1.48e-7
+    stream_b = 64  # default stream batch (stream_score_topk)
+    best_cost, cap = None, None
+    c = 8
+    while c < max(num_docs, 16):
+        n_heavy = int((lens > c).sum())
+        if n_heavy * num_docs * itemsize <= heavy_hbm_budget:
+            cost = (
+                n_heavy * num_docs * itemsize / BW_BYTES_PER_MS
+                + KAPPA_MS * stream_b * max_query_terms * c * c
+            )
+            if best_cost is None or cost < best_cost:
+                best_cost, cap = cost, c
+            elif cost > 2 * best_cost:
+                break  # quadratic tail only grows from here
+        c *= 2
+    return cap if cap is not None else num_docs
+
+
 class ResidentSparseIndex:
     def __init__(
         self,
@@ -201,37 +244,10 @@ class ResidentSparseIndex:
         lens = np.diff(offs).astype(np.int32)
         V = len(lens)
         if light_cap is None:
-            # auto: cost-model the heavy/light split instead of taking the
-            # smallest cap that fits the budget. Per scan step,
-            #   heavy ~ H(cap) * N * itemsize / BW      (matmul streams the
-            #     heavy matrix at the HBM roofline — measured 899 GB/s on
-            #     v5e once host prep is excluded)
-            #   light ~ KAPPA * B * T * cap^2           (gather+scatter tail;
-            #     empirically quadratic in cap — scatter conflicts grow with
-            #     postings-window length)
-            # Constants fit the measured v5e curve at 20k docs / B=64 / T=16
-            # (qps: cap 16 -> 8.3k, 32 -> 9.4k, 64 -> 10.3k, 128 -> 8.0k,
-            # 256 -> 4.3k; model reproduces the ordering and the knee).
-            # The budget stays a hard constraint; itemsize scales the heavy
-            # term, so compressed heavy dtypes shift the optimum lower.
-            BW_BYTES_PER_MS = 899e6
-            KAPPA_MS = 1.48e-7
-            stream_b = 64  # default stream batch (stream_score_topk)
-            best_cost, cap = None, None
-            c = 8
-            while c < max(index.num_docs, 16):
-                n_heavy = int((lens > c).sum())
-                if n_heavy * index.num_docs * itemsize <= heavy_hbm_budget:
-                    cost = (
-                        n_heavy * index.num_docs * itemsize / BW_BYTES_PER_MS
-                        + KAPPA_MS * stream_b * max_query_terms * c * c
-                    )
-                    if best_cost is None or cost < best_cost:
-                        best_cost, cap = cost, c
-                    elif cost > 2 * best_cost:
-                        break  # quadratic tail only grows from here
-                c *= 2
-            light_cap = cap if cap is not None else index.num_docs
+            light_cap = auto_light_cap(
+                lens, index.num_docs, itemsize, heavy_hbm_budget,
+                max_query_terms,
+            )
         self.light_cap = light_cap
         heavy_terms = np.where(lens > light_cap)[0]
         H = max(int(len(heavy_terms)), 1)

@@ -56,9 +56,10 @@ class ShardedDenseIndex:
 
     def __init__(
         self, mesh: Mesh, matrix: np.ndarray, dtype=jnp.bfloat16,
-        dir_ids: np.ndarray = None,
+        dir_ids: np.ndarray = None, dir_vocab=None,
     ) -> None:
         self.mesh = mesh
+        self.dir_vocab = dir_vocab or {}
         n_shards = mesh.shape["data"]
         n, d = matrix.shape
         self.num_docs = n
@@ -130,13 +131,91 @@ class ShardedDenseIndex:
     def _query(self, q: jnp.ndarray, k: int, dir_filter=None):
         return self._query_impl(self.matrix, self.dir_col, q, k, dir_filter)
 
+    @classmethod
+    def from_dense(cls, mesh: Mesh, dense) -> "ShardedDenseIndex":
+        """Shard a built/loaded single-chip :class:`DenseIndex` over the
+        mesh (dequantizing int8 rows back to f32 first); the result is a
+        drop-in for ``DenseRetriever`` — same ``query(dir_value=...)`` /
+        ``query_stream(dir_values=...)`` surface."""
+        mat = np.asarray(dense.matrix, dtype=np.float32)
+        if dense.scales is not None:  # int8 rows: dequantize for resharding
+            mat = mat * np.asarray(dense.scales, np.float32)[:, None]
+        dtype = (
+            jnp.bfloat16 if dense.matrix.dtype == jnp.bfloat16 else jnp.float32
+        )
+        return cls(
+            mesh, mat, dtype=dtype, dir_ids=dense.dir_ids,
+            dir_vocab=dense.dir_vocab,
+        )
+
     def query(
-        self, q: np.ndarray, k: int, dir_filter: np.ndarray = None
+        self, q: np.ndarray, k: int, dir_filter: np.ndarray = None,
+        dir_value=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        q = np.atleast_2d(np.asarray(q, dtype=np.float32))
-        dir_f = jnp.asarray(dir_filter) if dir_filter is not None else None
+        """``dir_filter`` takes per-row int filter ids; ``dir_value`` takes
+        a dir NAME applied to every row (the ``DenseIndex.query`` contract,
+        so the sharded index drops into ``DenseRetriever``)."""
+        from ..index.dense import l2_normalize
+
+        q = l2_normalize(np.atleast_2d(np.asarray(q, dtype=np.float32)))
+        dir_f = None
+        if dir_filter is not None:
+            dir_f = jnp.asarray(dir_filter)
+        elif self.dir_col is not None:
+            fid = self.dir_vocab.get(dir_value, -2) if dir_value else -1
+            dir_f = jnp.full((q.shape[0],), fid, dtype=jnp.int32)
         vals, idx = self._query(jnp.asarray(q), k, dir_f)
         return np.asarray(vals), np.asarray(idx)
+
+    @functools.partial(jax.jit, static_argnames=("self", "k"))
+    def _stream_impl(self, matrix, dir_col, q, k: int, dir_filter=None):
+        """Scan-over-batches form of :meth:`_query_impl`: the whole query
+        stream in one dispatch over the mesh. ``q`` is ``[NB, B, D]``."""
+
+        def step(_, inp):
+            qb, *df = inp
+            v, i = self._query_impl(
+                matrix, dir_col, qb, k, df[0] if df else None
+            )
+            return 0, (v, i)
+
+        xs = (q,) if dir_filter is None else (q, dir_filter)
+        _, (vs, ix) = jax.lax.scan(step, 0, xs)
+        return vs, ix
+
+    def query_stream(
+        self,
+        query_embs: np.ndarray,  # [Q, D]
+        k: int,
+        dir_values=None,  # per-row dir names (or None)
+        batch: int = 64,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Whole query set in one compiled dispatch over the mesh; results
+        identical to row-wise :meth:`query`, tail padding stripped — the
+        ``DenseIndex.query_stream`` contract."""
+        from ..index.dense import l2_normalize
+
+        q = l2_normalize(np.atleast_2d(np.asarray(query_embs, np.float32)))
+        Q = q.shape[0]
+        n_batches = (Q + batch - 1) // batch
+        pad = n_batches * batch - Q
+        if pad:
+            q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
+        dir_f = None
+        if self.dir_col is not None:
+            dvals = list(dir_values or [None] * Q) + [None] * pad
+            dir_f = jnp.asarray(
+                np.array(
+                    [self.dir_vocab.get(d, -2) if d else -1 for d in dvals],
+                    dtype=np.int32,
+                ).reshape(n_batches, batch)
+            )
+        vs, ix = self._stream_impl(
+            self.matrix, self.dir_col,
+            jnp.asarray(q.reshape(n_batches, batch, -1)), k, dir_f,
+        )
+        vs, ix = jax.device_get((vs, ix))
+        return vs.reshape(-1, k)[:Q], ix.reshape(-1, k)[:Q]
 
 
 class ShardedResidentSparseIndex:
@@ -168,14 +247,15 @@ class ShardedResidentSparseIndex:
         V = len(lens)
         self.V = V
         if light_cap is None:
-            # same auto policy as single-chip (floor 16 — see the measured
-            # qps-vs-cap curve in ops/bm25_resident.py), budget is per shard
-            light_cap = 16
-            while light_cap < self.shard_size:
-                n_heavy = int((lens > light_cap).sum())
-                if n_heavy * self.shard_size * 4 <= heavy_hbm_budget:
-                    break
-                light_cap *= 2
+            # same cost-model policy as single-chip (ops/bm25_resident.py
+            # ``auto_light_cap``); per-shard doc count, per-shard budget.
+            # A per-shard window never exceeds shard_size, so the all-light
+            # fallback cap of shard_size is always sufficient here.
+            from ..ops.bm25_resident import auto_light_cap
+
+            light_cap = auto_light_cap(
+                lens, self.shard_size, 4, heavy_hbm_budget, max_query_terms
+            )
         self.light_cap = light_cap
 
         # shard-local re-pack: postings split by doc range; per-shard CSR
@@ -382,30 +462,57 @@ class ShardedResidentSparseIndex:
         _, (tvs, tis) = jax.lax.scan(step, 0, xs)
         return tvs, tis, tis.sum()
 
+    def stream_from_arrays(
+        self,
+        ids: np.ndarray,  # [Q, T] int32 term ids (sentinel-padded rows)
+        cnts: np.ndarray,  # [Q, T] f32
+        dir_f,  # [Q] int32 or None
+        k: int,
+        batch: int = 64,
+    ):
+        """Lower-level stream entry matching the single-chip
+        ``ResidentSparseIndex.stream_from_arrays`` contract, so the sharded
+        index is a drop-in ``_resident`` for ``BM25Retriever``. Returns
+        ``(tvs [NB,B,k], tis, checksum, Q)`` with results still on device."""
+        Q = ids.shape[0]
+        n_batches = (Q + batch - 1) // batch
+        pad = n_batches * batch - Q
+        if pad:
+            ids = np.concatenate(
+                [ids, np.full((pad, ids.shape[1]), self.V, np.int32)]
+            )
+            cnts = np.concatenate(
+                [cnts, np.zeros((pad, cnts.shape[1]), np.float32)]
+            )
+            if dir_f is not None:
+                dir_f = np.concatenate([dir_f, np.full(pad, -1, np.int32)])
+        tvs, tis, checksum = self._stream_impl(
+            self.heavy, self.t_starts, self.t_lens, self.post_docs,
+            self.post_vals, self.t_heavy_row, self.dir_col,
+            jnp.asarray(ids.reshape(n_batches, batch, -1)),
+            jnp.asarray(cnts.reshape(n_batches, batch, -1)),
+            k,
+            jnp.asarray(dir_f.reshape(n_batches, batch))
+            if dir_f is not None
+            else None,
+        )
+        return tvs, tis, checksum, Q
+
     def stream_score_topk(
         self, queries_tokens, k: int, batch: int = 64, dir_values=None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Whole query set in one compiled dispatch over the mesh; results
         identical to :meth:`score_topk`, tail padding stripped."""
         Q = len(queries_tokens)
-        n_batches = (Q + batch - 1) // batch
-        padded = list(queries_tokens) + [[]] * (n_batches * batch - Q)
-        ids, cnts = self.query_terms_batch(padded)
-        ids = ids.reshape(n_batches, batch, -1)
-        cnts = cnts.reshape(n_batches, batch, -1)
+        ids, cnts = self.query_terms_batch(queries_tokens)
         dir_f = None
         if dir_values is not None and self.dir_col is not None:
-            dvals = list(dir_values) + [None] * (n_batches * batch - Q)
-            dir_f = jnp.asarray(
-                np.array(
-                    [self.dir_vocab.get(d, -2) if d else -1 for d in dvals],
-                    dtype=np.int32,
-                ).reshape(n_batches, batch)
+            dir_f = np.array(
+                [self.dir_vocab.get(d, -2) if d else -1 for d in dir_values],
+                dtype=np.int32,
             )
-        tvs, tis, _ = self._stream_impl(
-            self.heavy, self.t_starts, self.t_lens, self.post_docs,
-            self.post_vals, self.t_heavy_row, self.dir_col,
-            jnp.asarray(ids), jnp.asarray(cnts), k, dir_f,
+        tvs, tis, _, _ = self.stream_from_arrays(
+            ids, cnts, dir_f, k, batch=batch
         )
         tvs, tis = jax.device_get((tvs, tis))
         kk = tvs.shape[-1]

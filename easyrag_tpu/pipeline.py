@@ -210,6 +210,7 @@ class EasyRAGPipeline:
             index=sparse_content_index,
             heavy_dtype=cfg.tpu.sparse_heavy_dtype,
             heavy_hbm_budget=cfg.tpu.sparse_heavy_hbm_budget,
+            mesh=self.mesh if cfg.tpu.shard_index else None,
         )
         if cfg.f_topk_3 != 0:
             self.path_retriever = BM25Retriever(
@@ -224,6 +225,7 @@ class EasyRAGPipeline:
                 index=sparse_path_index,
                 heavy_dtype=cfg.tpu.sparse_heavy_dtype,
                 heavy_hbm_budget=cfg.tpu.sparse_heavy_hbm_budget,
+                mesh=self.mesh if cfg.tpu.shard_index else None,
             )
         else:
             self.path_retriever = None
@@ -246,11 +248,18 @@ class EasyRAGPipeline:
             and getattr(self.sparse_retriever, "_resident", None) is not None
             and getattr(self.path_retriever, "_resident", None) is not None
         ):
-            from .ops.bm25_resident import DualResidentScorer
+            from .ops.bm25_resident import DualResidentScorer, ResidentSparseIndex
 
-            self._dual_scorer = DualResidentScorer(
-                self.sparse_retriever._resident, self.path_retriever._resident
-            )
+            # sharded residents take the per-route stream path (each route
+            # is already one dispatch over the mesh); the fused dual
+            # dispatch is a single-chip optimization
+            if isinstance(
+                self.sparse_retriever._resident, ResidentSparseIndex
+            ) and isinstance(self.path_retriever._resident, ResidentSparseIndex):
+                self._dual_scorer = DualResidentScorer(
+                    self.sparse_retriever._resident,
+                    self.path_retriever._resident,
+                )
 
         if cfg.split_type == 1:
             from .automerge import AutoMergingRetriever
@@ -329,7 +338,8 @@ class EasyRAGPipeline:
             if index.num_docs == len(nodes):
                 emit("dense_index", {"loaded": index.num_docs})
                 return DenseRetriever(
-                    index, nodes, self.embed_model, similarity_top_k=cfg.f_topk_1
+                    self._maybe_shard_dense(index, cfg), nodes,
+                    self.embed_model, similarity_top_k=cfg.f_topk_1,
                 )
         texts = [get_node_content(n, cfg.f_embed_type_1) for n in nodes]
         embeddings = np.asarray(self.embed_model.get_text_embeddings(texts))
@@ -340,7 +350,23 @@ class EasyRAGPipeline:
         )
         index.save(artifact)
         emit("dense_index", {"built": index.num_docs})
-        return DenseRetriever(index, nodes, self.embed_model, similarity_top_k=cfg.f_topk_1)
+        return DenseRetriever(
+            self._maybe_shard_dense(index, cfg), nodes, self.embed_model,
+            similarity_top_k=cfg.f_topk_1,
+        )
+
+    def _maybe_shard_dense(self, index, cfg: EasyRAGConfig):
+        """Reshard the dense matrix over the mesh "data" axis when
+        ``tpu.shard_index`` is set (single-chip index otherwise)."""
+        if (
+            cfg.tpu.shard_index
+            and self.mesh is not None
+            and self.mesh.shape.get("data", 1) > 1
+        ):
+            from .parallel.sharded import ShardedDenseIndex
+
+            return ShardedDenseIndex.from_dense(self.mesh, index)
+        return index
 
     # -- query-time helpers ---------------------------------------------------
 

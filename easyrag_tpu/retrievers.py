@@ -54,6 +54,7 @@ class BM25Retriever:
         max_query_terms: int = 64,
         heavy_dtype: str = "float32",
         heavy_hbm_budget: int = 512 * 1024 * 1024,
+        mesh=None,
     ) -> None:
         self._nodes = nodes
         self._tokenizer = tokenizer
@@ -92,20 +93,36 @@ class BM25Retriever:
         # device path; the gather path remains as overflow fallback)
         self._resident = None
         if use_device and resident:
-            from .ops.bm25_resident import ResidentSparseIndex
+            if mesh is not None and mesh.shape.get("data", 1) > 1:
+                # ICI-sharded resident index: doc ranges over the mesh
+                # "data" axis, local top-k + all-gather merge — the corpus
+                # scales past one chip's HBM (parallel/sharded.py). Drop-in
+                # for the single-chip index (same _score_topk /
+                # stream_from_arrays surface).
+                from .parallel.sharded import ShardedResidentSparseIndex
 
-            # NOTE: the Pallas one-hot tail (tail="pallas") is deliberately
-            # NOT selected by use_pallas: measured 2.8x SLOWER than the XLA
-            # scatter at the default operating point, where most query terms
-            # are heavy and the gathered tail is mostly sentinel no-ops the
-            # scatter drops for free while the one-hot matmul pays its fixed
-            # 2*P*N cost regardless (see BASELINE.md negative results).
-            self._resident = ResidentSparseIndex(
-                self.index,
-                max_query_terms=max_query_terms,
-                heavy_dtype=heavy_dtype,
-                heavy_hbm_budget=heavy_hbm_budget,
-            )
+                self._resident = ShardedResidentSparseIndex(
+                    mesh,
+                    self.index,
+                    max_query_terms=max_query_terms,
+                    heavy_hbm_budget=heavy_hbm_budget,
+                )
+            else:
+                from .ops.bm25_resident import ResidentSparseIndex
+
+                # NOTE: the Pallas one-hot tail (tail="pallas") is
+                # deliberately NOT selected by use_pallas: measured 2.8x
+                # SLOWER than the XLA scatter at the default operating
+                # point, where most query terms are heavy and the gathered
+                # tail is mostly sentinel no-ops the scatter drops for free
+                # while the one-hot matmul pays its fixed 2*P*N cost
+                # regardless (see BASELINE.md negative results).
+                self._resident = ResidentSparseIndex(
+                    self.index,
+                    max_query_terms=max_query_terms,
+                    heavy_dtype=heavy_dtype,
+                    heavy_hbm_budget=heavy_hbm_budget,
+                )
 
     # -- scoring -------------------------------------------------------------
 
