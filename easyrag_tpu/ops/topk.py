@@ -40,13 +40,60 @@ def _pick_chunks(n: int, k: int) -> int:
     return 1
 
 
+_PRUNE_CH = 8  # chunk size for the chunk-max pruned path
+
+
+def _chunkmax_pruned_topk(scores: jnp.ndarray, k: int):
+    """Exact top-k via chunk-max pruning — ``lax.top_k`` over a long row is
+    the dense/sparse stream's dominant cost (its TPU lowering runs ~1 ns per
+    element regardless of k), so shrink the row first:
+
+    1. split the row into contiguous chunks of ``_PRUNE_CH``; max-reduce
+       each chunk;
+    2. select the top-k CHUNKS by (max value, ties -> descending chunk
+       index) with the flip trick;
+    3. gather those k chunks (k*CH candidates) and finish with an exact
+       two-key sort on (-value, -global index).
+
+    Exactness proof sketch: consider an element e in an unselected chunk c.
+    Each of the k selected chunks ranked above c holds a max element m_i
+    with either m_i > e, or m_i == e == max(c) and (chunks being contiguous
+    index ranges, ties broken by descending CHUNK index) a strictly larger
+    global index — so m_i beats e under the exact (value desc, index desc)
+    policy either way. That is k distinct elements ahead of e, hence e is
+    not in the top-k. Measured 110 -> 64 ms for a 4096-query dense stream
+    at n=20k, k=288 (the tie cases are covered by ``test_topk.py``)."""
+    n = scores.shape[-1]
+    nc = n // _PRUNE_CH
+    batch_shape = scores.shape[:-1]
+    sc = scores.reshape(*batch_shape, nc, _PRUNE_CH)
+    cmax = sc.max(axis=-1)
+    _, rev_ci = jax.lax.top_k(jnp.flip(cmax, axis=-1), k)
+    ci = (nc - 1) - rev_ci
+    gathered = jnp.take_along_axis(sc, ci[..., None], axis=-2)
+    flat = gathered.reshape(*batch_shape, k * _PRUNE_CH)
+    gidx = (
+        (ci * _PRUNE_CH)[..., None]
+        + jnp.arange(_PRUNE_CH, dtype=jnp.int32)
+    ).reshape(*batch_shape, k * _PRUNE_CH)
+    neg_v, neg_i = jax.lax.sort((-flat, -gidx), dimension=-1, num_keys=2)
+    return -neg_v[..., :k], -neg_i[..., :k]
+
+
 def topk_desc_reference_order(scores: jnp.ndarray, k: int):
     """Return ``(values, indices)`` of the top-k scores, descending, ties by
     descending index. ``scores`` is rank-1 or batched rank-2 (top-k on the
-    last axis). Large rows take a two-stage path (per-chunk top-k, then a
-    lexicographic candidate merge) with bit-identical results."""
+    last axis). Large rows take a pruned or two-stage path with
+    bit-identical results."""
     n = scores.shape[-1]
     k = min(k, n)
+    if (
+        n >= 4096
+        and n % _PRUNE_CH == 0
+        and k <= n // _PRUNE_CH
+        and 2 * k * _PRUNE_CH <= n  # pruning must actually shrink the row
+    ):
+        return _chunkmax_pruned_topk(scores, k)
     chunks = _pick_chunks(n, k)
     if chunks == 1:
         rev = jnp.flip(scores, axis=-1)
