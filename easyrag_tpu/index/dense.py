@@ -82,7 +82,12 @@ def dense_score_topk(
             dir_filter[:, None] == -1, dir_col[None, :] == dir_filter[:, None]
         )
         scores = jnp.where(keep, scores, NEG_INF)
-    return topk_desc_reference_order(scores, k)
+    tv, ti = topk_desc_reference_order(scores, k)
+    # sentinel contract (same as the sparse path): -inf entries carry the
+    # out-of-range index N, never a doc id — consumers stop at the first
+    # non-finite score, and the sharded index can match this exactly
+    # (its HBM padding rows would otherwise leak pad indices into ties)
+    return tv, jnp.where(jnp.isfinite(tv), ti, matrix.shape[0])
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -113,6 +118,101 @@ def dense_score_topk_stream(
     return tvs, tis, tis.sum()
 
 
+def prepare_dense_arrays(
+    embeddings: np.ndarray,
+    dirs: Optional[list] = None,
+    dtype: str = "bfloat16",
+):
+    """Host-side index preparation shared by the single-chip and sharded
+    builds: normalize rows, assign dir ids, optionally int8-quantize.
+    Returns ``(matrix, scales_or_None, dir_ids_or_None, dir_vocab)`` as
+    HOST numpy arrays (int8 matrix + f32 scales when ``dtype == "int8"``,
+    else the normalized f32 matrix — the caller casts)."""
+    mat = l2_normalize(np.asarray(embeddings, dtype=np.float32))
+    dir_ids = None
+    dir_vocab: Dict[str, int] = {}
+    if dirs is not None:
+        dir_ids = np.zeros(len(dirs), dtype=np.int32)
+        for i, d in enumerate(dirs):
+            if d not in dir_vocab:
+                dir_vocab[d] = len(dir_vocab)
+            dir_ids[i] = dir_vocab[d]
+    scales = None
+    if dtype == "int8":
+        row_scale = np.abs(mat).max(axis=1) / 127.0
+        mat_q = np.clip(
+            np.round(mat / np.maximum(row_scale[:, None], 1e-12)), -127, 127
+        ).astype(np.int8)
+        return mat_q, row_scale.astype(np.float32), dir_ids, dir_vocab
+    return mat, scales, dir_ids, dir_vocab
+
+
+def save_dense_artifact(
+    path: str,
+    matrix: np.ndarray,
+    scales: Optional[np.ndarray],
+    dir_ids: Optional[np.ndarray],
+    dir_vocab: Dict[str, int],
+    dtype: str,
+) -> None:
+    """Write the on-disk dense artifact from HOST arrays (the format
+    ``DenseIndex.load`` / ``ShardedDenseIndex.load`` read)."""
+    os.makedirs(path, exist_ok=True)
+    arrays = {
+        "dir_ids": dir_ids if dir_ids is not None else np.zeros(0, np.int32),
+    }
+    if scales is not None:
+        arrays["matrix"] = np.asarray(matrix)
+        arrays["scales"] = np.asarray(scales, np.float32)
+    else:
+        arrays["matrix"] = np.asarray(matrix, dtype=np.float32)
+    np.savez(os.path.join(path, "dense_arrays.npz"), **arrays)
+    with open(os.path.join(path, "dense_meta.json"), "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "dir_vocab": dir_vocab,
+                "has_dir_ids": dir_ids is not None,
+                "dtype": dtype,
+            },
+            f,
+        )
+
+
+def load_dense_arrays(path: str):
+    """Read the on-disk dense artifact back as HOST arrays:
+    ``(matrix, scales_or_None, dir_ids_or_None, dir_vocab, dtype_str)``."""
+    arrays = np.load(os.path.join(path, "dense_arrays.npz"))
+    with open(os.path.join(path, "dense_meta.json"), encoding="utf-8") as f:
+        meta = json.load(f)
+    dir_ids = arrays["dir_ids"] if meta["has_dir_ids"] else None
+    scales = arrays["scales"] if meta["dtype"] == "int8" else None
+    dir_vocab = {k: int(v) for k, v in meta["dir_vocab"].items()}
+    return arrays["matrix"], scales, dir_ids, dir_vocab, meta["dtype"]
+
+
+def pad_dense_query_stream(query_embs, dir_values, dir_vocab, has_dir_col, batch):
+    """Normalize + pad the dense query stream to scan form ``[NB, B, D]``
+    (zero rows score 0 everywhere and are stripped by the caller), mapping
+    per-row dir NAMES to filter ids (-1 none, -2 unknown). One definition
+    of the dense stream padding contract, shared by the single-chip and
+    sharded indexes. Returns ``(q, dir_f_or_None, Q)``."""
+    q = l2_normalize(np.atleast_2d(np.asarray(query_embs, np.float32)))
+    Q = q.shape[0]
+    n_batches = (Q + batch - 1) // batch
+    pad = n_batches * batch - Q
+    if pad:
+        q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
+    q = q.reshape(n_batches, batch, -1)
+    dir_f = None
+    if has_dir_col:
+        dvals = list(dir_values or [None] * Q) + [None] * pad
+        dir_f = np.array(
+            [dir_vocab.get(d, -2) if d else -1 for d in dvals],
+            dtype=np.int32,
+        ).reshape(n_batches, batch)
+    return q, dir_f, Q
+
+
 def l2_normalize(x: np.ndarray, eps: float = 1e-12) -> np.ndarray:
     norms = np.linalg.norm(x, axis=-1, keepdims=True)
     return x / np.maximum(norms, eps)
@@ -134,30 +234,16 @@ class DenseIndex:
         dirs: Optional[list] = None,
         dtype: str = "bfloat16",
     ) -> "DenseIndex":
-        mat = l2_normalize(np.asarray(embeddings, dtype=np.float32))
-        dir_ids = None
-        dir_vocab: Dict[str, int] = {}
-        if dirs is not None:
-            dir_ids = np.zeros(len(dirs), dtype=np.int32)
-            for i, d in enumerate(dirs):
-                if d not in dir_vocab:
-                    dir_vocab[d] = len(dir_vocab)
-                dir_ids[i] = dir_vocab[d]
-        scales = None
-        if dtype == "int8":
-            row_scale = np.abs(mat).max(axis=1) / 127.0
-            q = np.clip(
-                np.round(mat / np.maximum(row_scale[:, None], 1e-12)), -127, 127
-            ).astype(np.int8)
-            matrix = jnp.asarray(q)
-            scales = jnp.asarray(row_scale.astype(np.float32))
-        else:
-            matrix = jnp.asarray(mat, dtype=jnp.dtype(dtype))
+        mat, scales, dir_ids, dir_vocab = prepare_dense_arrays(
+            embeddings, dirs, dtype
+        )
         return cls(
-            matrix=matrix,
+            matrix=jnp.asarray(mat)
+            if dtype == "int8"
+            else jnp.asarray(mat, dtype=jnp.dtype(dtype)),
             dir_ids=dir_ids,
             dir_vocab=dir_vocab,
-            scales=scales,
+            scales=jnp.asarray(scales) if scales is not None else None,
         )
 
     @property
@@ -193,25 +279,15 @@ class DenseIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Whole query set in one compiled dispatch; results identical to
         row-wise :meth:`query`, tail padding stripped."""
-        q = l2_normalize(np.atleast_2d(np.asarray(query_embs, np.float32)))
-        Q = q.shape[0]
-        n_batches = (Q + batch - 1) // batch
-        pad = n_batches * batch - Q
-        if pad:
-            q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
         dir_col = jnp.asarray(self.dir_ids) if self.dir_ids is not None else None
-        dir_f = None
-        if dir_col is not None:
-            dvals = list(dir_values or [None] * Q) + [None] * pad
-            dir_f = jnp.asarray(
-                np.array(
-                    [self.dir_vocab.get(d, -2) if d else -1 for d in dvals],
-                    dtype=np.int32,
-                ).reshape(n_batches, batch)
-            )
+        q, dir_f, Q = pad_dense_query_stream(
+            query_embs, dir_values, self.dir_vocab, dir_col is not None, batch
+        )
         tvs, tis, _ = dense_score_topk_stream(
-            jnp.asarray(q.reshape(n_batches, batch, -1)), self.matrix, k,
-            dir_col=dir_col, dir_filter=dir_f, scales=self.scales,
+            jnp.asarray(q), self.matrix, k,
+            dir_col=dir_col,
+            dir_filter=jnp.asarray(dir_f) if dir_f is not None else None,
+            scales=self.scales,
         )
         tvs, tis = jax.device_get((tvs, tis))
         return tvs.reshape(-1, k)[:Q], tis.reshape(-1, k)[:Q]
@@ -219,43 +295,29 @@ class DenseIndex:
     # -- on-disk artifact ----------------------------------------------------
 
     def save(self, path: str) -> None:
-        os.makedirs(path, exist_ok=True)
-        arrays = {
-            "dir_ids": self.dir_ids
-            if self.dir_ids is not None
-            else np.zeros(0, np.int32),
-        }
-        if self.scales is not None:  # int8: persist rows + scales exactly
-            arrays["matrix"] = np.asarray(self.matrix)
-            arrays["scales"] = np.asarray(self.scales, np.float32)
-        else:
-            arrays["matrix"] = np.asarray(self.matrix, dtype=np.float32)
-        np.savez(os.path.join(path, "dense_arrays.npz"), **arrays)
-        with open(os.path.join(path, "dense_meta.json"), "w", encoding="utf-8") as f:
-            json.dump(
-                {
-                    "dir_vocab": self.dir_vocab,
-                    "has_dir_ids": self.dir_ids is not None,
-                    "dtype": str(self.matrix.dtype),
-                },
-                f,
-            )
+        save_dense_artifact(
+            path,
+            np.asarray(self.matrix),
+            np.asarray(self.scales, np.float32)
+            if self.scales is not None
+            else None,
+            self.dir_ids,
+            self.dir_vocab,
+            str(self.matrix.dtype),
+        )
 
     @classmethod
     def load(cls, path: str) -> "DenseIndex":
-        arrays = np.load(os.path.join(path, "dense_arrays.npz"))
-        with open(os.path.join(path, "dense_meta.json"), encoding="utf-8") as f:
-            meta = json.load(f)
-        dir_ids = arrays["dir_ids"] if meta["has_dir_ids"] else None
-        if meta["dtype"] == "int8":  # exact int8 rows + scales
+        matrix, scales, dir_ids, dir_vocab, dtype = load_dense_arrays(path)
+        if dtype == "int8":  # exact int8 rows + scales
             return cls(
-                matrix=jnp.asarray(arrays["matrix"]),
+                matrix=jnp.asarray(matrix),
                 dir_ids=dir_ids,
-                dir_vocab={k: int(v) for k, v in meta["dir_vocab"].items()},
-                scales=jnp.asarray(arrays["scales"]),
+                dir_vocab=dir_vocab,
+                scales=jnp.asarray(scales),
             )
         return cls(
-            matrix=jnp.asarray(arrays["matrix"], dtype=jnp.dtype(meta["dtype"])),
+            matrix=jnp.asarray(matrix, dtype=jnp.dtype(dtype)),
             dir_ids=dir_ids,
-            dir_vocab={k: int(v) for k, v in meta["dir_vocab"].items()},
+            dir_vocab=dir_vocab,
         )

@@ -164,6 +164,37 @@ def _resident_score_topk_stream(
     return tvs, tis, tis.sum()
 
 
+def pad_query_stream(
+    ids: np.ndarray,
+    cnts: np.ndarray,
+    dir_f: Optional[np.ndarray],
+    batch: int,
+    sentinel_term: int,
+):
+    """Pad the query axis to a multiple of ``batch`` with sentinel rows
+    (term = sentinel, count 0 -> every score 0 -> dropped; dir -1 = no
+    filter) and reshape to scan form ``[NB, B, *]``. One definition of the
+    stream padding contract, shared by the single-chip and sharded sparse
+    streams. Returns ``(ids, cnts, dir_f, n_batches, Q)``."""
+    Q = ids.shape[0]
+    n_batches = (Q + batch - 1) // batch
+    pad = n_batches * batch - Q
+    if pad:
+        ids = np.concatenate(
+            [ids, np.full((pad, ids.shape[1]), sentinel_term, np.int32)]
+        )
+        cnts = np.concatenate(
+            [cnts, np.zeros((pad, cnts.shape[1]), np.float32)]
+        )
+        if dir_f is not None:
+            dir_f = np.concatenate([dir_f, np.full(pad, -1, np.int32)])
+    ids = ids.reshape(n_batches, batch, -1)
+    cnts = cnts.reshape(n_batches, batch, -1)
+    if dir_f is not None:
+        dir_f = dir_f.reshape(n_batches, batch)
+    return ids, cnts, dir_f, n_batches, Q
+
+
 def auto_light_cap(
     lens: np.ndarray,
     num_docs: int,
@@ -449,26 +480,14 @@ class ResidentSparseIndex:
         axis to a multiple of ``batch`` with sentinel rows (every score 0 ->
         dropped) so the compiled shape is fixed per scan length, then scores
         the whole stream in one dispatch."""
-        Q = ids.shape[0]
-        n_batches = (Q + batch - 1) // batch
-        pad = n_batches * batch - Q
-        if pad:
-            ids = np.concatenate(
-                [ids, np.full((pad, ids.shape[1]), self.V, np.int32)]
-            )
-            cnts = np.concatenate(
-                [cnts, np.zeros((pad, cnts.shape[1]), np.float32)]
-            )
-            if dir_f is not None:
-                dir_f = np.concatenate([dir_f, np.full(pad, -1, np.int32)])
+        ids, cnts, dir_f, _, Q = pad_query_stream(
+            ids, cnts, dir_f, batch, self.V
+        )
         tvs, tis, checksum = _resident_score_topk_stream(
             self.heavy, self.t_heavy_row, self.t_starts, self.t_light_lens,
             self.post_docs, self.post_vals, self.dir_col,
-            jnp.asarray(ids.reshape(n_batches, batch, -1)),
-            jnp.asarray(cnts.reshape(n_batches, batch, -1)),
-            jnp.asarray(dir_f.reshape(n_batches, batch))
-            if dir_f is not None
-            else None,
+            jnp.asarray(ids), jnp.asarray(cnts),
+            jnp.asarray(dir_f) if dir_f is not None else None,
             self.heavy_scales,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
             tail=self.tail,

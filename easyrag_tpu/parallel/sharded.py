@@ -57,18 +57,36 @@ class ShardedDenseIndex:
     def __init__(
         self, mesh: Mesh, matrix: np.ndarray, dtype=jnp.bfloat16,
         dir_ids: np.ndarray = None, dir_vocab=None,
+        scales: np.ndarray = None,
     ) -> None:
+        """``matrix`` is host rows: normalized f32 (cast to ``dtype``), or
+        already-quantized int8 when ``scales`` (per-row f32) is given —
+        the exact arrays a single-chip ``DenseIndex`` holds, row-sharded."""
         self.mesh = mesh
         self.dir_vocab = dir_vocab or {}
         n_shards = mesh.shape["data"]
         n, d = matrix.shape
         self.num_docs = n
         self.pad_n = ((n + n_shards - 1) // n_shards) * n_shards
-        padded = np.zeros((self.pad_n, d), dtype=np.float32)
-        padded[:n] = matrix
         sharding = NamedSharding(mesh, P("data", None))
-        self.matrix = jax.device_put(jnp.asarray(padded, dtype=dtype), sharding)
         self.shard_size = self.pad_n // n_shards
+        self.scales = None
+        if scales is not None:  # int8 rows + per-row scales
+            padded = np.zeros((self.pad_n, d), dtype=np.int8)
+            padded[:n] = matrix
+            self.matrix = jax.device_put(jnp.asarray(padded), sharding)
+            sc_pad = np.ones((self.pad_n,), np.float32)
+            sc_pad[:n] = scales
+            self.scales = jax.device_put(
+                jnp.asarray(sc_pad.reshape(n_shards, self.shard_size)),
+                sharding,
+            )
+        else:
+            padded = np.zeros((self.pad_n, d), dtype=np.float32)
+            padded[:n] = matrix
+            self.matrix = jax.device_put(
+                jnp.asarray(padded, dtype=dtype), sharding
+            )
         # optional metadata column for the `dir` equality filter, row-sharded
         self.dir_col = None
         if dir_ids is not None:
@@ -79,6 +97,38 @@ class ShardedDenseIndex:
                 NamedSharding(mesh, P("data", None)),
             )
 
+    @classmethod
+    def build(
+        cls, mesh: Mesh, embeddings: np.ndarray, dirs=None,
+        dtype: str = "bfloat16",
+    ) -> "ShardedDenseIndex":
+        """Build directly from host embeddings — shards go straight to
+        their devices; the full matrix never lands on a single chip (the
+        point of sharding: corpora past one chip's HBM)."""
+        from ..index.dense import prepare_dense_arrays
+
+        mat, scales, dir_ids, dir_vocab = prepare_dense_arrays(
+            embeddings, dirs, dtype
+        )
+        dt = jnp.int8 if dtype == "int8" else jnp.dtype(dtype)
+        return cls(
+            mesh, mat, dtype=dt, dir_ids=dir_ids, dir_vocab=dir_vocab,
+            scales=scales,
+        )
+
+    @classmethod
+    def load(cls, mesh: Mesh, path: str) -> "ShardedDenseIndex":
+        """Load the on-disk artifact (``DenseIndex`` format) host-side and
+        shard it — no single-device materialization."""
+        from ..index.dense import load_dense_arrays
+
+        matrix, scales, dir_ids, dir_vocab, dtype = load_dense_arrays(path)
+        dt = jnp.int8 if dtype == "int8" else jnp.dtype(dtype)
+        return cls(
+            mesh, matrix, dtype=dt, dir_ids=dir_ids, dir_vocab=dir_vocab,
+            scales=scales,
+        )
+
     # NOTE: self stays a static jit arg for mesh/shape metadata, but the
     # big arrays are passed explicitly — a static self would bake them into
     # the compile payload as literals (measured: HTTP 413 on the remote
@@ -86,21 +136,41 @@ class ShardedDenseIndex:
     @functools.partial(jax.jit, static_argnames=("self", "k"))
     def _query_impl(
         self, matrix, dir_col, q: jnp.ndarray, k: int,
-        dir_filter: jnp.ndarray = None,
+        dir_filter: jnp.ndarray = None, scales=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         mesh = self.mesh
         shard_size = self.shard_size
         num_docs = self.num_docs
         with_filter = dir_col is not None and dir_filter is not None
+        is_int8 = matrix.dtype == jnp.int8
 
         def shard_fn(matrix_local, q_rep, *rest):
             lo = jax.lax.axis_index("data") * shard_size
-            scores = jax.lax.dot_general(
-                q_rep.astype(matrix_local.dtype),
-                matrix_local,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [B, shard]
+            rest = list(rest)
+            scales_local = rest.pop(0)[0] if is_int8 else None
+            if is_int8:
+                # the single-chip int8 contract (index/dense.py): quantize
+                # the replicated query per row, s8 x s8 -> s32 on the MXU,
+                # rescale by q_scale * per-row scales — every shard sees
+                # the same q8, so scores match the single-chip path
+                q_scale = jnp.max(jnp.abs(q_rep), axis=1, keepdims=True) / 127.0
+                q8 = jnp.clip(
+                    jnp.round(q_rep / jnp.maximum(q_scale, 1e-12)), -127, 127
+                ).astype(jnp.int8)
+                acc = jax.lax.dot_general(
+                    q8,
+                    matrix_local,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                scores = acc.astype(jnp.float32) * q_scale * scales_local[None, :]
+            else:
+                scores = jax.lax.dot_general(
+                    q_rep.astype(matrix_local.dtype),
+                    matrix_local,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [B, shard]
             # mask padded rows
             local_ids = lo + jax.lax.broadcasted_iota(
                 jnp.int32, (1, shard_size), 1
@@ -113,10 +183,16 @@ class ShardedDenseIndex:
                 )
                 scores = jnp.where(keep, scores, NEG_INF)
             lv, li = topk_desc_reference_order(scores, min(k, shard_size))
-            return _merge_global_topk(lv, li + lo, "data", k)
+            gv, gi = _merge_global_topk(lv, li + lo, "data", k)
+            # sentinel contract (index/dense.py): -inf entries carry index
+            # num_docs, so HBM pad rows never leak into the output ties
+            return gv, jnp.where(jnp.isfinite(gv), gi, num_docs)
 
         in_specs = [P("data", None), P(None, None)]
         args = [matrix, q]
+        if is_int8:
+            in_specs.append(P("data", None))
+            args.append(scales)
         if with_filter:
             in_specs += [P("data", None), P(None)]
             args += [dir_col, dir_filter]
@@ -129,23 +205,28 @@ class ShardedDenseIndex:
         )(*args)
 
     def _query(self, q: jnp.ndarray, k: int, dir_filter=None):
-        return self._query_impl(self.matrix, self.dir_col, q, k, dir_filter)
+        return self._query_impl(
+            self.matrix, self.dir_col, q, k, dir_filter, self.scales
+        )
 
     @classmethod
     def from_dense(cls, mesh: Mesh, dense) -> "ShardedDenseIndex":
         """Shard a built/loaded single-chip :class:`DenseIndex` over the
-        mesh (dequantizing int8 rows back to f32 first); the result is a
+        mesh, keeping its exact stored rows (incl. int8 rows + scales, so
+        scores match the single-chip path bit for bit); the result is a
         drop-in for ``DenseRetriever`` — same ``query(dir_value=...)`` /
-        ``query_stream(dir_values=...)`` surface."""
-        mat = np.asarray(dense.matrix, dtype=np.float32)
-        if dense.scales is not None:  # int8 rows: dequantize for resharding
-            mat = mat * np.asarray(dense.scales, np.float32)[:, None]
-        dtype = (
-            jnp.bfloat16 if dense.matrix.dtype == jnp.bfloat16 else jnp.float32
-        )
+        ``query_stream(dir_values=...)`` surface. Prefer
+        :meth:`build`/:meth:`load` when no device index exists yet — this
+        path downloads the matrix from the first device."""
         return cls(
-            mesh, mat, dtype=dtype, dir_ids=dense.dir_ids,
+            mesh,
+            np.asarray(dense.matrix),
+            dtype=dense.matrix.dtype,
+            dir_ids=dense.dir_ids,
             dir_vocab=dense.dir_vocab,
+            scales=np.asarray(dense.scales, np.float32)
+            if dense.scales is not None
+            else None,
         )
 
     def query(
@@ -168,14 +249,15 @@ class ShardedDenseIndex:
         return np.asarray(vals), np.asarray(idx)
 
     @functools.partial(jax.jit, static_argnames=("self", "k"))
-    def _stream_impl(self, matrix, dir_col, q, k: int, dir_filter=None):
+    def _stream_impl(self, matrix, dir_col, q, k: int, dir_filter=None,
+                     scales=None):
         """Scan-over-batches form of :meth:`_query_impl`: the whole query
         stream in one dispatch over the mesh. ``q`` is ``[NB, B, D]``."""
 
         def step(_, inp):
             qb, *df = inp
             v, i = self._query_impl(
-                matrix, dir_col, qb, k, df[0] if df else None
+                matrix, dir_col, qb, k, df[0] if df else None, scales
             )
             return 0, (v, i)
 
@@ -193,26 +275,16 @@ class ShardedDenseIndex:
         """Whole query set in one compiled dispatch over the mesh; results
         identical to row-wise :meth:`query`, tail padding stripped — the
         ``DenseIndex.query_stream`` contract."""
-        from ..index.dense import l2_normalize
+        from ..index.dense import pad_dense_query_stream
 
-        q = l2_normalize(np.atleast_2d(np.asarray(query_embs, np.float32)))
-        Q = q.shape[0]
-        n_batches = (Q + batch - 1) // batch
-        pad = n_batches * batch - Q
-        if pad:
-            q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
-        dir_f = None
-        if self.dir_col is not None:
-            dvals = list(dir_values or [None] * Q) + [None] * pad
-            dir_f = jnp.asarray(
-                np.array(
-                    [self.dir_vocab.get(d, -2) if d else -1 for d in dvals],
-                    dtype=np.int32,
-                ).reshape(n_batches, batch)
-            )
+        q, dir_f, Q = pad_dense_query_stream(
+            query_embs, dir_values, self.dir_vocab,
+            self.dir_col is not None, batch,
+        )
         vs, ix = self._stream_impl(
-            self.matrix, self.dir_col,
-            jnp.asarray(q.reshape(n_batches, batch, -1)), k, dir_f,
+            self.matrix, self.dir_col, jnp.asarray(q), k,
+            jnp.asarray(dir_f) if dir_f is not None else None,
+            self.scales,
         )
         vs, ix = jax.device_get((vs, ix))
         return vs.reshape(-1, k)[:Q], ix.reshape(-1, k)[:Q]
@@ -231,14 +303,19 @@ class ShardedResidentSparseIndex:
     """
 
     def __init__(self, mesh: Mesh, index, light_cap=None, max_query_terms: int = 64,
-                 heavy_hbm_budget: int = 512 * 1024 * 1024):
+                 heavy_hbm_budget: int = 512 * 1024 * 1024,
+                 heavy_dtype: str = "float32"):
         from ..ops.bm25_resident import ResidentSparseIndex
 
+        if heavy_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(f"unsupported heavy_dtype {heavy_dtype!r}")
         self.mesh = mesh
         self.host_index = index
         self.dir_vocab = index.dir_vocab
         self.num_docs = index.num_docs
         self.max_query_terms = max_query_terms
+        self.heavy_dtype = heavy_dtype
+        itemsize = {"float32": 4, "bfloat16": 2, "int8": 1}[heavy_dtype]
         n_shards = mesh.shape["data"]
         self.shard_size = (index.num_docs + n_shards - 1) // n_shards
 
@@ -249,12 +326,16 @@ class ShardedResidentSparseIndex:
         if light_cap is None:
             # same cost-model policy as single-chip (ops/bm25_resident.py
             # ``auto_light_cap``); per-shard doc count, per-shard budget.
-            # A per-shard window never exceeds shard_size, so the all-light
-            # fallback cap of shard_size is always sufficient here.
+            # When NO cap fits the budget, the fallback of shard_size gives
+            # the minimum FEASIBLE heavy set (terms whose global df exceeds
+            # the per-shard window bound of shard_size must stay heavy for
+            # correctness) — that minimum may still exceed an unsatisfiably
+            # small budget.
             from ..ops.bm25_resident import auto_light_cap
 
             light_cap = auto_light_cap(
-                lens, self.shard_size, 4, heavy_hbm_budget, max_query_terms
+                lens, self.shard_size, itemsize, heavy_hbm_budget,
+                max_query_terms,
             )
         self.light_cap = light_cap
 
@@ -320,6 +401,22 @@ class ShardedResidentSparseIndex:
             )
 
         ds = NamedSharding(mesh, P("data", None))
+        # compressed heavy dtypes, same semantics as the single-chip index
+        # (ops/bm25_resident.py): int8 quantizes per DOC COLUMN over the
+        # same global heavy-term set, so scales — and scores — are
+        # identical to the single-chip int8 path (pad columns scale 1.0)
+        self.heavy_scales = None
+        if heavy_dtype == "int8":
+            col_max = np.abs(heavy_full).max(axis=0)
+            scales = np.where(col_max > 0, col_max / 127.0, 1.0).astype(
+                np.float32
+            )
+            heavy_full = np.rint(heavy_full / scales[None, :]).astype(np.int8)
+            self.heavy_scales = jax.device_put(
+                jnp.asarray(scales.reshape(n_shards, self.shard_size)), ds
+            )
+        elif heavy_dtype == "bfloat16":
+            heavy_full = heavy_full.astype(jnp.bfloat16)
         self.heavy = jax.device_put(
             jnp.asarray(heavy_full.reshape(H, n_shards, self.shard_size)
                         .transpose(1, 0, 2).reshape(n_shards * H, self.shard_size)),
@@ -346,10 +443,12 @@ class ShardedResidentSparseIndex:
     def _score_topk_impl(
         self, heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
         dir_col, term_ids, counts, k: int, dir_filter=None,
+        heavy_scales=None,
     ):
         shard_size, num_docs = self.shard_size, self.num_docs
         H, C, P_pad = self.H, self.light_cap, self.max_p
         with_filter = dir_col is not None and dir_filter is not None
+        is_int8 = self.heavy_dtype == "int8"
 
         def shard_fn(heavy, starts, lens, pdocs, pvals, heavy_row, tids, cnts, *rest):
             B, T = tids.shape
@@ -357,6 +456,8 @@ class ShardedResidentSparseIndex:
             heavy = heavy.reshape(H, shard_size)
             starts, lens = starts[0], lens[0]
             pdocs, pvals = pdocs[0], pvals[0]
+            rest = list(rest)
+            scales_local = rest.pop(0)[0] if is_int8 else None
 
             hrow = heavy_row[tids]  # noqa — replicated lookup table
             hrow_or_drop = jnp.where(hrow >= 0, hrow, H)
@@ -365,11 +466,26 @@ class ShardedResidentSparseIndex:
             A = A.at[b_idx, hrow_or_drop].add(
                 jnp.where(hrow >= 0, cnts, 0.0), mode="drop"
             )
-            scores = jax.lax.dot_general(
-                A, heavy, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [B, shard]
+            dims = (((1,), (0,)), ((), ()))
+            if is_int8:
+                # s8 x s8 -> s32, per-doc-column rescale: the single-chip
+                # int8 contract (ops/bm25_resident.py)
+                scores = jax.lax.dot_general(
+                    jnp.clip(A, 0, 127).astype(jnp.int8), heavy,
+                    dimension_numbers=dims,
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32) * scales_local[None, :]
+            elif heavy.dtype == jnp.bfloat16:
+                scores = jax.lax.dot_general(
+                    A.astype(jnp.bfloat16), heavy, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                scores = jax.lax.dot_general(
+                    A, heavy, dimension_numbers=dims,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [B, shard]
 
             st = starts[tids]
             ln = lens[tids]
@@ -396,7 +512,9 @@ class ShardedResidentSparseIndex:
                 scores = jnp.where(keep, scores, NEG_INF)
             scores = jnp.where(scores > 0, scores, NEG_INF)
             lv, li = topk_desc_reference_order(scores, min(k, shard_size))
-            return _merge_global_topk(lv, li + lo, "data", k)
+            gv, gi = _merge_global_topk(lv, li + lo, "data", k)
+            # single-chip sentinel contract: -inf entries carry index N
+            return gv, jnp.where(jnp.isfinite(gv), gi, num_docs)
 
         in_specs = [
             P("data", None), P("data", None), P("data", None),
@@ -407,6 +525,9 @@ class ShardedResidentSparseIndex:
             heavy, t_starts, t_lens, post_docs,
             post_vals, t_heavy_row, term_ids, counts,
         ]
+        if is_int8:
+            in_specs.append(P("data", None))
+            args.append(heavy_scales)
         if with_filter:
             in_specs += [P("data", None), P(None)]
             args += [dir_col, dir_filter]
@@ -422,7 +543,7 @@ class ShardedResidentSparseIndex:
         return self._score_topk_impl(
             self.heavy, self.t_starts, self.t_lens, self.post_docs,
             self.post_vals, self.t_heavy_row, self.dir_col,
-            term_ids, counts, k, dir_filter,
+            term_ids, counts, k, dir_filter, self.heavy_scales,
         )
 
     def score_topk(self, queries_tokens, k: int, dir_values=None):
@@ -442,6 +563,7 @@ class ShardedResidentSparseIndex:
     def _stream_impl(
         self, heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
         dir_col, term_ids, counts, k: int, dir_filter=None,
+        heavy_scales=None,
     ):
         """Scan-over-batches form of :meth:`_score_topk_impl` — the whole
         query stream in one dispatch, mirroring the single-chip
@@ -452,7 +574,7 @@ class ShardedResidentSparseIndex:
             ids, cnts, *df = inp
             tv, ti = self._score_topk_impl(
                 heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
-                dir_col, ids, cnts, k, df[0] if df else None,
+                dir_col, ids, cnts, k, df[0] if df else None, heavy_scales,
             )
             return 0, (tv, ti)
 
@@ -474,27 +596,17 @@ class ShardedResidentSparseIndex:
         ``ResidentSparseIndex.stream_from_arrays`` contract, so the sharded
         index is a drop-in ``_resident`` for ``BM25Retriever``. Returns
         ``(tvs [NB,B,k], tis, checksum, Q)`` with results still on device."""
-        Q = ids.shape[0]
-        n_batches = (Q + batch - 1) // batch
-        pad = n_batches * batch - Q
-        if pad:
-            ids = np.concatenate(
-                [ids, np.full((pad, ids.shape[1]), self.V, np.int32)]
-            )
-            cnts = np.concatenate(
-                [cnts, np.zeros((pad, cnts.shape[1]), np.float32)]
-            )
-            if dir_f is not None:
-                dir_f = np.concatenate([dir_f, np.full(pad, -1, np.int32)])
+        from ..ops.bm25_resident import pad_query_stream
+
+        ids, cnts, dir_f, _, Q = pad_query_stream(
+            ids, cnts, dir_f, batch, self.V
+        )
         tvs, tis, checksum = self._stream_impl(
             self.heavy, self.t_starts, self.t_lens, self.post_docs,
             self.post_vals, self.t_heavy_row, self.dir_col,
-            jnp.asarray(ids.reshape(n_batches, batch, -1)),
-            jnp.asarray(cnts.reshape(n_batches, batch, -1)),
-            k,
-            jnp.asarray(dir_f.reshape(n_batches, batch))
-            if dir_f is not None
-            else None,
+            jnp.asarray(ids), jnp.asarray(cnts), k,
+            jnp.asarray(dir_f) if dir_f is not None else None,
+            self.heavy_scales,
         )
         return tvs, tis, checksum, Q
 
@@ -561,7 +673,9 @@ class ShardedSparseScorer:
             scores = jnp.where(local_ids < num_docs, scores, NEG_INF)
             scores = jnp.where(scores > 0, scores, NEG_INF)
             lv, li = topk_desc_reference_order(scores, min(k, shard_size))
-            return _merge_global_topk(lv, li + lo, "data", k)
+            gv, gi = _merge_global_topk(lv, li + lo, "data", k)
+            # single-chip sentinel contract: -inf entries carry index N
+            return gv, jnp.where(jnp.isfinite(gv), gi, num_docs)
 
         return jax.shard_map(
             shard_fn,

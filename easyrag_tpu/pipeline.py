@@ -327,46 +327,65 @@ class EasyRAGPipeline:
         """
         import numpy as np
 
-        from .index.dense import DenseIndex
+        from .index.dense import DenseIndex, prepare_dense_arrays, save_dense_artifact
 
+        shard = (
+            cfg.tpu.shard_index
+            and self.mesh is not None
+            and self.mesh.shape.get("data", 1) > 1
+        )
         artifact = cfg.index_artifact_path or os.path.join(cfg.cache_path, cfg.collection_name)
         if (
             not cfg.reindex
             and os.path.exists(os.path.join(artifact, "dense_arrays.npz"))
         ):
-            index = DenseIndex.load(artifact)
+            if shard:
+                # host-side artifact load straight onto the mesh shards —
+                # the full matrix never lands on one device (sharding
+                # exists for corpora past a single chip's HBM)
+                from .parallel.sharded import ShardedDenseIndex
+
+                index = ShardedDenseIndex.load(self.mesh, artifact)
+            else:
+                index = DenseIndex.load(artifact)
             if index.num_docs == len(nodes):
                 emit("dense_index", {"loaded": index.num_docs})
                 return DenseRetriever(
-                    self._maybe_shard_dense(index, cfg), nodes,
-                    self.embed_model, similarity_top_k=cfg.f_topk_1,
+                    index, nodes, self.embed_model,
+                    similarity_top_k=cfg.f_topk_1,
                 )
         texts = [get_node_content(n, cfg.f_embed_type_1) for n in nodes]
         embeddings = np.asarray(self.embed_model.get_text_embeddings(texts))
-        index = DenseIndex.build(
-            embeddings,
-            dirs=[n.metadata.get("dir", "") for n in nodes],
-            dtype=cfg.tpu.index_dtype,
-        )
-        index.save(artifact)
-        emit("dense_index", {"built": index.num_docs})
-        return DenseRetriever(
-            self._maybe_shard_dense(index, cfg), nodes, self.embed_model,
-            similarity_top_k=cfg.f_topk_1,
-        )
-
-    def _maybe_shard_dense(self, index, cfg: EasyRAGConfig):
-        """Reshard the dense matrix over the mesh "data" axis when
-        ``tpu.shard_index`` is set (single-chip index otherwise)."""
-        if (
-            cfg.tpu.shard_index
-            and self.mesh is not None
-            and self.mesh.shape.get("data", 1) > 1
-        ):
+        dirs = [n.metadata.get("dir", "") for n in nodes]
+        if shard:
             from .parallel.sharded import ShardedDenseIndex
 
-            return ShardedDenseIndex.from_dense(self.mesh, index)
-        return index
+            # prepare host arrays once: shard them AND write the artifact
+            # (same on-disk format as the single-chip index)
+            mat, scales, dir_ids, dir_vocab = prepare_dense_arrays(
+                embeddings, dirs, cfg.tpu.index_dtype
+            )
+            import jax.numpy as jnp
+
+            dt = (
+                jnp.int8
+                if cfg.tpu.index_dtype == "int8"
+                else jnp.dtype(cfg.tpu.index_dtype)
+            )
+            index = ShardedDenseIndex(
+                self.mesh, mat, dtype=dt, dir_ids=dir_ids,
+                dir_vocab=dir_vocab, scales=scales,
+            )
+            save_dense_artifact(
+                artifact, mat, scales, dir_ids, dir_vocab, cfg.tpu.index_dtype
+            )
+        else:
+            index = DenseIndex.build(embeddings, dirs=dirs, dtype=cfg.tpu.index_dtype)
+            index.save(artifact)
+        emit("dense_index", {"built": index.num_docs})
+        return DenseRetriever(
+            index, nodes, self.embed_model, similarity_top_k=cfg.f_topk_1
+        )
 
     # -- query-time helpers ---------------------------------------------------
 
@@ -556,19 +575,28 @@ class EasyRAGPipeline:
 
         sparse, path = self.sparse_retriever, self.path_retriever
         tokens = [sparse._tokenize_query(qb.query_str) for qb in bundles]
-        dir_fs, valid, overflow = [], [], []
-        for i, toks in enumerate(tokens):
+        dir_fs = []
+        for i in range(len(tokens)):
             fd = filter_dicts[i] if filter_dicts else None
             if fd is None or fd.get("dir") is None:
                 dir_fs.append(-1)
             else:
                 dir_fs.append(sparse.index.dir_vocab.get(fd["dir"], -2))
-            try:
-                sparse._resident.query_terms(toks)
-                path._resident.query_terms(toks)
-                valid.append(i)
-            except ValueError:
-                overflow.append(i)
+        try:
+            # vectorized overflow check for the whole batch (the common
+            # case has no overflow; per-query isolation only on failure)
+            sparse._resident.query_terms_batch(tokens)
+            path._resident.query_terms_batch(tokens)
+            valid, overflow = list(range(len(tokens))), []
+        except ValueError:
+            valid, overflow = [], []
+            for i, toks in enumerate(tokens):
+                try:
+                    sparse._resident.query_terms(toks)
+                    path._resident.query_terms(toks)
+                    valid.append(i)
+                except ValueError:
+                    overflow.append(i)
 
         def to_nodes(tv_row, ti_row):
             out = []

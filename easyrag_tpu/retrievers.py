@@ -106,6 +106,7 @@ class BM25Retriever:
                     self.index,
                     max_query_terms=max_query_terms,
                     heavy_hbm_budget=heavy_hbm_budget,
+                    heavy_dtype=heavy_dtype,
                 )
             else:
                 from .ops.bm25_resident import ResidentSparseIndex

@@ -172,3 +172,83 @@ def test_sharded_sparse_matches_single_chip(mesh):
         np.testing.assert_array_equal(mi[row][finite], si[row][finite])
         # dropped entries are -inf on both paths
         assert not np.isfinite(mv[row][~finite]).any()
+
+
+def test_sharded_int8_dense_matches_single_chip(mesh):
+    """int8 rows + per-row scales shard without dequantization: scores are
+    the single-chip int8 path's bit for bit (same q8, same row scales)."""
+    from easyrag_tpu.index.dense import DenseIndex, l2_normalize
+    from easyrag_tpu.parallel.sharded import ShardedDenseIndex
+
+    rng = np.random.default_rng(11)
+    n, d, k = 203, 64, 9
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    dirs = [f"d{i % 3}" for i in range(n)]
+    single = DenseIndex.build(emb, dirs=dirs, dtype="int8")
+    sharded = ShardedDenseIndex.build(mesh, emb, dirs=dirs, dtype="int8")
+    assert sharded.matrix.dtype == jnp.int8  # rows stay quantized
+    q = l2_normalize(rng.normal(size=(4, d)).astype(np.float32))
+    sv, si = single.query(q, k)
+    mv, mi = sharded.query(q, k)
+    np.testing.assert_array_equal(np.asarray(mv), np.asarray(sv))
+    np.testing.assert_array_equal(np.asarray(mi), np.asarray(si))
+    # streamed + dir-filtered form too
+    dvals = ["d1", None, "zzz", "d0"]
+    sv2, si2 = single.query_stream(q, k, dir_values=dvals, batch=2)
+    mv2, mi2 = sharded.query_stream(q, k, dir_values=dvals, batch=2)
+    np.testing.assert_array_equal(mv2, sv2)
+    np.testing.assert_array_equal(mi2, si2)
+
+
+def test_sharded_int8_sparse_heavy_matches_single_chip(mesh):
+    """heavy_dtype=int8 on the sharded resident index: same global
+    per-doc-column scales as single-chip -> identical scores."""
+    from easyrag_tpu.index.sparse import build_sparse_index
+    from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
+    from easyrag_tpu.parallel.sharded import ShardedResidentSparseIndex
+
+    corpus = synthetic_corpus(num_docs=101, vocab=70, seed=12)
+    dirs = [f"d{i % 3}" for i in range(len(corpus))]
+    index = build_sparse_index(corpus, bm25_type=0, dirs=dirs)
+    single = ResidentSparseIndex(
+        index, light_cap=8, max_query_terms=16, heavy_dtype="int8"
+    )
+    sharded = ShardedResidentSparseIndex(
+        mesh, index, light_cap=8, max_query_terms=16, heavy_dtype="int8"
+    )
+    queries = [["w3", "w14"], ["w1", "w2"], ["w0", "w5", "w9"]]
+    dvals = ["d1", None, "zzz"]
+    sv, si = single.score_topk(queries, 9, dir_values=dvals)
+    mv, mi = sharded.score_topk(queries, 9, dir_values=dvals)
+    for row in range(len(queries)):
+        finite = np.isfinite(sv[row])
+        np.testing.assert_allclose(mv[row][finite], sv[row][finite], rtol=1e-6)
+        np.testing.assert_array_equal(mi[row][finite], si[row][finite])
+        assert not np.isfinite(mv[row][~finite]).any()
+    # stream form
+    sv2, si2 = single.stream_score_topk(queries, 9, batch=2, dir_values=dvals)
+    mv2, mi2 = sharded.stream_score_topk(queries, 9, batch=2, dir_values=dvals)
+    for row in range(len(queries)):
+        finite = np.isfinite(sv2[row])
+        np.testing.assert_allclose(mv2[row][finite], sv2[row][finite], rtol=1e-6)
+        np.testing.assert_array_equal(mi2[row][finite], si2[row][finite])
+
+
+def test_sharded_dense_load_matches_dense_load(mesh, tmp_path):
+    """ShardedDenseIndex.load reads the DenseIndex artifact host-side and
+    returns the same results, without materializing on one device."""
+    from easyrag_tpu.index.dense import DenseIndex, l2_normalize
+    from easyrag_tpu.parallel.sharded import ShardedDenseIndex
+
+    rng = np.random.default_rng(13)
+    n, d, k = 77, 32, 5
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    single = DenseIndex.build(emb, dirs=[f"d{i % 2}" for i in range(n)], dtype="float32")
+    single.save(str(tmp_path / "art"))
+    loaded = ShardedDenseIndex.load(mesh, str(tmp_path / "art"))
+    assert loaded.num_docs == n and loaded.dir_vocab == single.dir_vocab
+    q = l2_normalize(rng.normal(size=(2, d)).astype(np.float32))
+    sv, si = single.query(q, k)
+    mv, mi = loaded.query(q, k)
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(sv), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mi), np.asarray(si))
