@@ -202,7 +202,8 @@ def pad_dense_query_stream(query_embs, dir_values, dir_vocab, has_dir_col, batch
     pad = n_batches * batch - Q
     if pad:
         q = np.concatenate([q, np.zeros((pad, q.shape[1]), np.float32)])
-    q = q.reshape(n_batches, batch, -1)
+    # explicit last dim: reshape(0, batch, -1) is rejected for empty streams
+    q = q.reshape(n_batches, batch, q.shape[1])
     dir_f = None
     if has_dir_col:
         dvals = list(dir_values or [None] * Q) + [None] * pad

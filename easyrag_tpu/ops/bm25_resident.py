@@ -188,8 +188,9 @@ def pad_query_stream(
         )
         if dir_f is not None:
             dir_f = np.concatenate([dir_f, np.full(pad, -1, np.int32)])
-    ids = ids.reshape(n_batches, batch, -1)
-    cnts = cnts.reshape(n_batches, batch, -1)
+    # explicit last dims: reshape(0, batch, -1) is rejected for empty streams
+    ids = ids.reshape(n_batches, batch, ids.shape[1])
+    cnts = cnts.reshape(n_batches, batch, cnts.shape[1])
     if dir_f is not None:
         dir_f = dir_f.reshape(n_batches, batch)
     return ids, cnts, dir_f, n_batches, Q
@@ -596,25 +597,30 @@ class DualResidentScorer:
         (64-query batches scanned on device) plus one bulk fetch — the
         batch-eval shape of the reference's default dual-route operating
         point. Same results as :meth:`score_topk`, padding stripped."""
-        Q = len(query_tokens_batch)
-        n_batches = (Q + batch - 1) // batch
-        padded = list(query_tokens_batch) + [[]] * (n_batches * batch - Q)
-        dir_fs = np.concatenate(
-            [
-                np.asarray(dir_fs, dtype=np.int32),
-                np.full(n_batches * batch - Q, -1, np.int32),
-            ]
+        ids1, cnt1 = self.content.query_terms_batch(query_tokens_batch)
+        ids2, cnt2 = self.path.query_terms_batch(query_tokens_batch)
+        return self.stream_from_arrays(
+            ids1, cnt1, ids2, cnt2, dir_fs, k_content, k_path, batch=batch
         )
-        ids1, cnt1 = self.content.query_terms_batch(padded)
-        ids2, cnt2 = self.path.query_terms_batch(padded)
 
-        def pack(a):
-            return jnp.asarray(a.reshape(n_batches, batch, -1))
-
+    def stream_from_arrays(
+        self, ids1, cnt1, ids2, cnt2, dir_fs, k_content, k_path,
+        batch: int = 64,
+    ):
+        """Arrays-level form of :meth:`stream_score_topk` for callers that
+        already prepped term ids (``pipeline._dual_retrieve_stream`` keeps
+        the arrays from its overflow check rather than prepping twice)."""
+        ids1, cnt1, dir_fs, _, Q = pad_query_stream(
+            ids1, cnt1, np.asarray(dir_fs, np.int32), batch, self.content.V
+        )
+        ids2, cnt2, _, _, _ = pad_query_stream(
+            ids2, cnt2, None, batch, self.path.V
+        )
         tv1, ti1, tv2, ti2 = _dual_resident_score_topk_stream(
             self._args(self.content), self._args(self.path),
-            pack(ids1), pack(cnt1), pack(ids2), pack(cnt2),
-            jnp.asarray(dir_fs.reshape(n_batches, batch)),
+            jnp.asarray(ids1), jnp.asarray(cnt1),
+            jnp.asarray(ids2), jnp.asarray(cnt2),
+            jnp.asarray(dir_fs),
             k1=k_content, k2=k_path, num_docs=self.content.num_docs,
             light_cap1=self.content.light_cap, light_cap2=self.path.light_cap,
             P1=self.content.P, P2=self.path.P,

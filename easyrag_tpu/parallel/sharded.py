@@ -98,6 +98,19 @@ class ShardedDenseIndex:
             )
 
     @classmethod
+    def from_arrays(
+        cls, mesh: Mesh, matrix, scales, dir_ids, dir_vocab, dtype: str,
+    ) -> "ShardedDenseIndex":
+        """Construct from the host arrays ``prepare_dense_arrays`` /
+        ``load_dense_arrays`` produce — the one build recipe the pipeline,
+        :meth:`build` and :meth:`load` all share. (``dtype`` is ignored for
+        int8 rows: ``scales`` implies the stored-int8 layout.)"""
+        return cls(
+            mesh, matrix, dtype=jnp.dtype(dtype), dir_ids=dir_ids,
+            dir_vocab=dir_vocab, scales=scales,
+        )
+
+    @classmethod
     def build(
         cls, mesh: Mesh, embeddings: np.ndarray, dirs=None,
         dtype: str = "bfloat16",
@@ -107,13 +120,8 @@ class ShardedDenseIndex:
         point of sharding: corpora past one chip's HBM)."""
         from ..index.dense import prepare_dense_arrays
 
-        mat, scales, dir_ids, dir_vocab = prepare_dense_arrays(
-            embeddings, dirs, dtype
-        )
-        dt = jnp.int8 if dtype == "int8" else jnp.dtype(dtype)
-        return cls(
-            mesh, mat, dtype=dt, dir_ids=dir_ids, dir_vocab=dir_vocab,
-            scales=scales,
+        return cls.from_arrays(
+            mesh, *prepare_dense_arrays(embeddings, dirs, dtype), dtype
         )
 
     @classmethod
@@ -123,11 +131,7 @@ class ShardedDenseIndex:
         from ..index.dense import load_dense_arrays
 
         matrix, scales, dir_ids, dir_vocab, dtype = load_dense_arrays(path)
-        dt = jnp.int8 if dtype == "int8" else jnp.dtype(dtype)
-        return cls(
-            mesh, matrix, dtype=dt, dir_ids=dir_ids, dir_vocab=dir_vocab,
-            scales=scales,
-        )
+        return cls.from_arrays(mesh, matrix, scales, dir_ids, dir_vocab, dtype)
 
     # NOTE: self stays a static jit arg for mesh/shape metadata, but the
     # big arrays are passed explicitly — a static self would bake them into

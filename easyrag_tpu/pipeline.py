@@ -327,7 +327,12 @@ class EasyRAGPipeline:
         """
         import numpy as np
 
-        from .index.dense import DenseIndex, prepare_dense_arrays, save_dense_artifact
+        from .index.dense import (
+            DenseIndex,
+            load_dense_arrays,
+            prepare_dense_arrays,
+            save_dense_artifact,
+        )
 
         shard = (
             cfg.tpu.shard_index
@@ -340,15 +345,22 @@ class EasyRAGPipeline:
             and os.path.exists(os.path.join(artifact, "dense_arrays.npz"))
         ):
             if shard:
-                # host-side artifact load straight onto the mesh shards —
-                # the full matrix never lands on one device (sharding
-                # exists for corpora past a single chip's HBM)
+                # host-side artifact load, staleness-checked BEFORE any
+                # device upload — the full matrix never lands on one device
+                # (sharding exists for corpora past a single chip's HBM)
                 from .parallel.sharded import ShardedDenseIndex
 
-                index = ShardedDenseIndex.load(self.mesh, artifact)
+                arrays = load_dense_arrays(artifact)
+                index = (
+                    ShardedDenseIndex.from_arrays(self.mesh, *arrays)
+                    if arrays[0].shape[0] == len(nodes)
+                    else None
+                )
             else:
                 index = DenseIndex.load(artifact)
-            if index.num_docs == len(nodes):
+                if index.num_docs != len(nodes):
+                    index = None
+            if index is not None:
                 emit("dense_index", {"loaded": index.num_docs})
                 return DenseRetriever(
                     index, nodes, self.embed_model,
@@ -362,23 +374,11 @@ class EasyRAGPipeline:
 
             # prepare host arrays once: shard them AND write the artifact
             # (same on-disk format as the single-chip index)
-            mat, scales, dir_ids, dir_vocab = prepare_dense_arrays(
-                embeddings, dirs, cfg.tpu.index_dtype
+            arrays = prepare_dense_arrays(embeddings, dirs, cfg.tpu.index_dtype)
+            index = ShardedDenseIndex.from_arrays(
+                self.mesh, *arrays, cfg.tpu.index_dtype
             )
-            import jax.numpy as jnp
-
-            dt = (
-                jnp.int8
-                if cfg.tpu.index_dtype == "int8"
-                else jnp.dtype(cfg.tpu.index_dtype)
-            )
-            index = ShardedDenseIndex(
-                self.mesh, mat, dtype=dt, dir_ids=dir_ids,
-                dir_vocab=dir_vocab, scales=scales,
-            )
-            save_dense_artifact(
-                artifact, mat, scales, dir_ids, dir_vocab, cfg.tpu.index_dtype
-            )
+            save_dense_artifact(artifact, *arrays, cfg.tpu.index_dtype)
         else:
             index = DenseIndex.build(embeddings, dirs=dirs, dtype=cfg.tpu.index_dtype)
             index.save(artifact)
@@ -582,11 +582,15 @@ class EasyRAGPipeline:
                 dir_fs.append(-1)
             else:
                 dir_fs.append(sparse.index.dir_vocab.get(fd["dir"], -2))
+        prepped = None
         try:
-            # vectorized overflow check for the whole batch (the common
-            # case has no overflow; per-query isolation only on failure)
-            sparse._resident.query_terms_batch(tokens)
-            path._resident.query_terms_batch(tokens)
+            # vectorized prep for the whole batch (the common case has no
+            # overflow); the arrays feed the scorer directly — per-query
+            # isolation only on failure
+            prepped = (
+                *sparse._resident.query_terms_batch(tokens),
+                *path._resident.query_terms_batch(tokens),
+            )
             valid, overflow = list(range(len(tokens))), []
         except ValueError:
             valid, overflow = [], []
@@ -609,11 +613,20 @@ class EasyRAGPipeline:
         content_lists = [[] for _ in bundles]
         path_lists = [[] for _ in bundles]
         if valid:
-            (tv1, ti1), (tv2, ti2) = self._dual_scorer.stream_score_topk(
-                [tokens[i] for i in valid],
+            if prepped is None:
+                prepped = (
+                    *sparse._resident.query_terms_batch(
+                        [tokens[i] for i in valid]
+                    ),
+                    *path._resident.query_terms_batch(
+                        [tokens[i] for i in valid]
+                    ),
+                )
+            (tv1, ti1), (tv2, ti2) = self._dual_scorer.stream_from_arrays(
+                *prepped,
+                [dir_fs[i] for i in valid],
                 sparse._similarity_top_k,
                 path._similarity_top_k,
-                [dir_fs[i] for i in valid],
             )
             no_dir_col = sparse._resident.dir_col is None
             for row, i in enumerate(valid):

@@ -67,3 +67,13 @@ def test_dense_stream_matches_row_wise():
             # scores to f32 tolerance: the batched matmul tiles (and thus
             # accumulates) differently than the single-row one
             np.testing.assert_allclose(sv[row], rv[0], rtol=1e-6)
+
+
+def test_empty_dense_query_stream():
+    import numpy as np
+    from easyrag_tpu.index.dense import DenseIndex
+
+    rng = np.random.default_rng(0)
+    idx = DenseIndex.build(rng.normal(size=(50, 16)).astype(np.float32))
+    v, i = idx.query_stream(np.zeros((0, 16), np.float32), 5)
+    assert v.shape == (0, 5) and i.shape == (0, 5)

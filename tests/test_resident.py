@@ -190,3 +190,11 @@ def test_query_terms_batch_matches_scalar(setup):
         assert got == want
     with pytest.raises(ValueError, match="distinct terms"):
         resident.query_terms_batch([["w0"], [f"w{i}" for i in range(40)]])
+
+
+def test_empty_query_stream(setup):
+    """A zero-length query stream returns empty results instead of crashing
+    in the pad helper (reshape(0, batch, -1) is rejected by numpy)."""
+    _, _, resident, _ = setup
+    tv, ti = resident.stream_score_topk([], k=5, batch=4)
+    assert tv.shape == (0, 5) and ti.shape == (0, 5)
