@@ -40,6 +40,7 @@ def _resident_score_topk_impl(
     heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals, dir_col,
     term_ids, counts, dir_filter, heavy_scales=None,
     *, k: int, num_docs: int, light_cap: int, P: int, tail: str = "xla",
+    light: str = "csr",
 ):
     B, T = term_ids.shape
     N, C = num_docs, light_cap
@@ -83,13 +84,23 @@ def _resident_score_topk_impl(
         )  # [B, N]
 
     # light part: bounded gather of each term's postings + scatter-add
-    starts = t_starts[term_ids]  # [B, T]
-    lens = t_light_lens[term_ids]
-    win = jnp.arange(C, dtype=jnp.int32)[None, None, :]
-    valid = win < lens[:, :, None]
-    pos = jnp.where(valid, starts[:, :, None] + win, P)  # sentinel slot
-    docs = post_docs[pos]  # [B, T, C]; sentinel -> N
-    vals = post_vals[pos] * counts[:, :, None]
+    if light == "rows":
+        # padded term-major layout: post_docs/post_vals are [V+1, C] rows
+        # (window pre-gathered at build, sentinel-padded) — one contiguous
+        # row gather per (query, term) instead of B*T*C independent
+        # element gathers through the CSR indirection; measured 2x faster
+        # at the bench operating point (123 -> 61 ms per 4096-query
+        # stream) for (V+1)*C*8 bytes of HBM
+        docs = post_docs[term_ids]  # [B, T, C]; pad slots -> N
+        vals = post_vals[term_ids] * counts[:, :, None]
+    else:
+        starts = t_starts[term_ids]  # [B, T]
+        lens = t_light_lens[term_ids]
+        win = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+        valid = win < lens[:, :, None]
+        pos = jnp.where(valid, starts[:, :, None] + win, P)  # sentinel slot
+        docs = post_docs[pos]  # [B, T, C]; sentinel -> N
+        vals = post_vals[pos] * counts[:, :, None]
     if tail in ("pallas", "pallas_interpret"):
         # one-hot-matmul accumulation (MXU) instead of XLA scatter-add —
         # measured 2.3x faster at [64, 2048] -> [64, 20000]; sentinel slots
@@ -122,17 +133,20 @@ def _resident_score_topk_impl(
 
 
 _resident_score_topk = functools.partial(
-    jax.jit, static_argnames=("k", "num_docs", "light_cap", "P", "tail")
+    jax.jit,
+    static_argnames=("k", "num_docs", "light_cap", "P", "tail", "light"),
 )(_resident_score_topk_impl)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "num_docs", "light_cap", "P", "tail")
+    jax.jit,
+    static_argnames=("k", "num_docs", "light_cap", "P", "tail", "light"),
 )
 def _resident_score_topk_stream(
     heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals, dir_col,
     term_ids, counts, dir_filter, heavy_scales=None,
     *, k: int, num_docs: int, light_cap: int, P: int, tail: str = "xla",
+    light: str = "csr",
 ):
     """Score a whole query STREAM in one compiled dispatch.
 
@@ -154,6 +168,7 @@ def _resident_score_topk_stream(
             heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals,
             dir_col, ids, cnts, dirf, heavy_scales,
             k=k, num_docs=num_docs, light_cap=light_cap, P=P, tail=tail,
+            light=light,
         )
         return 0, (tv, ti)
 
@@ -248,6 +263,8 @@ class ResidentSparseIndex:
         heavy_hbm_budget: int = 512 * 1024 * 1024,
         heavy_dtype: str = "float32",
         tail: Optional[str] = None,
+        light_rows: Optional[bool] = None,
+        light_rows_hbm_budget: int = 256 * 1024 * 1024,
     ) -> None:
         """``tail`` selects the light-postings accumulator: ``"xla"``
         (scatter-add, default), ``"pallas"`` (one-hot-matmul MXU kernel,
@@ -329,8 +346,24 @@ class ResidentSparseIndex:
         self.t_heavy_row = jnp.asarray(heavy_row)
         self.t_starts = jnp.asarray(starts)
         self.t_light_lens = jnp.asarray(light_lens)
-        self.post_docs = jnp.asarray(post_docs)
-        self.post_vals = jnp.asarray(post_vals)
+        # light-postings layout: "rows" pre-gathers each term's window into
+        # a padded [V+1, C] table — one contiguous row gather per (query,
+        # term) at score time instead of B*T*C element gathers through the
+        # CSR indirection (measured 2x tail speedup); costs (V+1)*C*8 bytes
+        # of HBM, so huge vocabularies fall back to the CSR layout.
+        table_bytes = (V + 1) * self.light_cap * 8
+        if light_rows is None:
+            light_rows = table_bytes <= light_rows_hbm_budget
+        self.light_layout = "rows" if light_rows else "csr"
+        if light_rows:
+            win = np.arange(self.light_cap, dtype=np.int64)[None, :]
+            valid = win < light_lens[:, None]  # [V+1, C]
+            pos = np.where(valid, starts[:, None].astype(np.int64) + win, P)
+            self.post_docs = jnp.asarray(post_docs[pos])
+            self.post_vals = jnp.asarray(post_vals[pos])
+        else:
+            self.post_docs = jnp.asarray(post_docs)
+            self.post_vals = jnp.asarray(post_vals)
         self.dir_col = (
             jnp.asarray(index.dir_ids) if index.dir_ids is not None else None
         )
@@ -420,7 +453,7 @@ class ResidentSparseIndex:
             self.post_docs, self.post_vals, self.dir_col,
             term_ids, counts, dir_filter, self.heavy_scales,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
-            tail=self.tail,
+            tail=self.tail, light=self.light_layout,
         )
 
     def score_topk(
@@ -491,7 +524,7 @@ class ResidentSparseIndex:
             jnp.asarray(dir_f) if dir_f is not None else None,
             self.heavy_scales,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
-            tail=self.tail,
+            tail=self.tail, light=self.light_layout,
         )
         return tvs, tis, checksum, Q
 
@@ -517,7 +550,7 @@ class ResidentSparseIndex:
     jax.jit,
     static_argnames=(
         "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2",
-        "tail1", "tail2",
+        "tail1", "tail2", "light1", "light2",
     ),
 )
 def _dual_resident_score_topk(
@@ -525,6 +558,7 @@ def _dual_resident_score_topk(
     *, k1: int, k2: int, num_docs: int,
     light_cap1: int, light_cap2: int, P1: int, P2: int,
     tail1: str = "xla", tail2: str = "xla",
+    light1: str = "csr", light2: str = "csr",
 ):
     """Score one query batch against two resident indexes (the content and
     know-path routes of the dual-route retrieval) in one compiled step —
@@ -539,11 +573,13 @@ def _dual_resident_score_topk(
         heavy1, hrow1, starts1, lens1, pdocs1, pvals1, dircol1,
         term_ids1, counts1, dir_filter, hs1,
         k=k1, num_docs=num_docs, light_cap=light_cap1, P=P1, tail=tail1,
+        light=light1,
     )
     tv2, ti2 = _resident_score_topk(
         heavy2, hrow2, starts2, lens2, pdocs2, pvals2, None,
         term_ids2, counts2, None, hs2,
         k=k2, num_docs=num_docs, light_cap=light_cap2, P=P2, tail=tail2,
+        light=light2,
     )
     return tv1, ti1, tv2, ti2
 
@@ -579,6 +615,7 @@ class DualResidentScorer:
             light_cap1=self.content.light_cap, light_cap2=self.path.light_cap,
             P1=self.content.P, P2=self.path.P,
             tail1=self.content.tail, tail2=self.path.tail,
+            light1=self.content.light_layout, light2=self.path.light_layout,
         )
         # one bulk fetch: separate np.asarray calls each pay a host round
         # trip on remote-attached devices
@@ -625,6 +662,7 @@ class DualResidentScorer:
             light_cap1=self.content.light_cap, light_cap2=self.path.light_cap,
             P1=self.content.P, P2=self.path.P,
             tail1=self.content.tail, tail2=self.path.tail,
+            light1=self.content.light_layout, light2=self.path.light_layout,
         )
         tv1, ti1, tv2, ti2 = jax.device_get((tv1, ti1, tv2, ti2))
 
@@ -638,7 +676,7 @@ class DualResidentScorer:
     jax.jit,
     static_argnames=(
         "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2",
-        "tail1", "tail2",
+        "tail1", "tail2", "light1", "light2",
     ),
 )
 def _dual_resident_score_topk_stream(
@@ -646,6 +684,7 @@ def _dual_resident_score_topk_stream(
     *, k1: int, k2: int, num_docs: int,
     light_cap1: int, light_cap2: int, P1: int, P2: int,
     tail1: str = "xla", tail2: str = "xla",
+    light1: str = "csr", light2: str = "csr",
 ):
     """Scan-over-batches form of :func:`_dual_resident_score_topk`:
     ``term_ids*/counts*`` are ``[NB, B, T]``, ``dir_filter`` ``[NB, B]``."""
@@ -656,7 +695,7 @@ def _dual_resident_score_topk_stream(
             args1, args2, i1, c1, i2, c2, df,
             k1=k1, k2=k2, num_docs=num_docs,
             light_cap1=light_cap1, light_cap2=light_cap2, P1=P1, P2=P2,
-            tail1=tail1, tail2=tail2,
+            tail1=tail1, tail2=tail2, light1=light1, light2=light2,
         )
         return 0, (tv1, ti1, tv2, ti2)
 

@@ -198,3 +198,39 @@ def test_empty_query_stream(setup):
     _, _, resident, _ = setup
     tv, ti = resident.stream_score_topk([], k=5, batch=4)
     assert tv.shape == (0, 5) and ti.shape == (0, 5)
+
+
+def test_light_rows_layout_matches_csr(setup):
+    """The padded term-major light layout ("rows") scores identically to
+    the CSR-window layout across dir filters and the stream form."""
+    _, index, _, _ = setup
+    rows = ResidentSparseIndex(
+        index, light_cap=32, max_query_terms=16, light_rows=True
+    )
+    csr = ResidentSparseIndex(
+        index, light_cap=32, max_query_terms=16, light_rows=False
+    )
+    assert rows.light_layout == "rows" and csr.light_layout == "csr"
+    assert rows.post_docs.ndim == 2 and csr.post_docs.ndim == 1
+    queries = [["w3", "w14"], ["w1", "w2", "w2"], ["w0"]]
+    dvals = ["d1", None, "zzz"]
+    rv, ri = rows.score_topk(queries, 7, dir_values=dvals)
+    cv, ci = csr.score_topk(queries, 7, dir_values=dvals)
+    np.testing.assert_array_equal(rv, cv)
+    np.testing.assert_array_equal(ri, ci)
+    rv2, ri2 = rows.stream_score_topk(queries, 7, batch=2, dir_values=dvals)
+    cv2, ci2 = csr.stream_score_topk(queries, 7, batch=2, dir_values=dvals)
+    np.testing.assert_array_equal(rv2, cv2)
+    np.testing.assert_array_equal(ri2, ci2)
+
+
+def test_light_rows_budget_gate():
+    """A tiny rows budget falls back to the CSR layout automatically."""
+    corpus = synthetic_corpus(num_docs=80, vocab=50, seed=2)
+    index = build_sparse_index(corpus, bm25_type=0)
+    small = ResidentSparseIndex(
+        index, light_cap=32, max_query_terms=8, light_rows_hbm_budget=64
+    )
+    assert small.light_layout == "csr"
+    auto = ResidentSparseIndex(index, light_cap=32, max_query_terms=8)
+    assert auto.light_layout == "rows"  # 51*32*8 bytes well under default
