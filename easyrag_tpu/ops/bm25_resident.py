@@ -40,7 +40,7 @@ def _resident_score_topk_impl(
     heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals, dir_col,
     term_ids, counts, dir_filter, heavy_scales=None,
     *, k: int, num_docs: int, light_cap: int, P: int, tail: str = "xla",
-    light: str = "csr",
+    light: str = "csr", light_t: Optional[int] = None,
 ):
     B, T = term_ids.shape
     N, C = num_docs, light_cap
@@ -83,7 +83,14 @@ def _resident_score_topk_impl(
             precision=jax.lax.Precision.HIGHEST,  # keep f32 exact on the MXU
         )  # [B, N]
 
-    # light part: bounded gather of each term's postings + scatter-add
+    # light part: bounded gather of each term's postings + scatter-add.
+    # ``light_t`` bounds how many LEADING term slots can hold light terms
+    # (host prep orders light terms first and buckets the per-stream max):
+    # queries average ~3 light terms of T=16 slots, so slicing the gather
+    # to the light prefix drops most of the tail's sentinel work.
+    TL = light_t if light_t is not None else T
+    lt_ids = term_ids[:, :TL]
+    lt_counts = counts[:, :TL]
     if light == "rows":
         # padded term-major layout: post_docs/post_vals are [V+1, C] rows
         # (window pre-gathered at build, sentinel-padded) — one contiguous
@@ -91,16 +98,16 @@ def _resident_score_topk_impl(
         # element gathers through the CSR indirection; measured 2x faster
         # at the bench operating point (123 -> 61 ms per 4096-query
         # stream) for (V+1)*C*8 bytes of HBM
-        docs = post_docs[term_ids]  # [B, T, C]; pad slots -> N
-        vals = post_vals[term_ids] * counts[:, :, None]
+        docs = post_docs[lt_ids]  # [B, TL, C]; pad slots -> N
+        vals = post_vals[lt_ids] * lt_counts[:, :, None]
     else:
-        starts = t_starts[term_ids]  # [B, T]
-        lens = t_light_lens[term_ids]
+        starts = t_starts[lt_ids]  # [B, TL]
+        lens = t_light_lens[lt_ids]
         win = jnp.arange(C, dtype=jnp.int32)[None, None, :]
         valid = win < lens[:, :, None]
         pos = jnp.where(valid, starts[:, :, None] + win, P)  # sentinel slot
-        docs = post_docs[pos]  # [B, T, C]; sentinel -> N
-        vals = post_vals[pos] * counts[:, :, None]
+        docs = post_docs[pos]  # [B, TL, C]; sentinel -> N
+        vals = post_vals[pos] * lt_counts[:, :, None]
     if tail in ("pallas", "pallas_interpret"):
         # one-hot-matmul accumulation (MXU) instead of XLA scatter-add —
         # measured 2.3x faster at [64, 2048] -> [64, 20000]; sentinel slots
@@ -114,7 +121,7 @@ def _resident_score_topk_impl(
             interpret=tail == "pallas_interpret",
         )
     else:
-        b_idx3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, T, C))
+        b_idx3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, TL, C))
         scores = scores.at[b_idx3.reshape(B, -1), docs.reshape(B, -1)].add(
             vals.reshape(B, -1), mode="drop"
         )
@@ -134,19 +141,23 @@ def _resident_score_topk_impl(
 
 _resident_score_topk = functools.partial(
     jax.jit,
-    static_argnames=("k", "num_docs", "light_cap", "P", "tail", "light"),
+    static_argnames=(
+        "k", "num_docs", "light_cap", "P", "tail", "light", "light_t",
+    ),
 )(_resident_score_topk_impl)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "num_docs", "light_cap", "P", "tail", "light"),
+    static_argnames=(
+        "k", "num_docs", "light_cap", "P", "tail", "light", "light_t",
+    ),
 )
 def _resident_score_topk_stream(
     heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals, dir_col,
     term_ids, counts, dir_filter, heavy_scales=None,
     *, k: int, num_docs: int, light_cap: int, P: int, tail: str = "xla",
-    light: str = "csr",
+    light: str = "csr", light_t: Optional[int] = None,
 ):
     """Score a whole query STREAM in one compiled dispatch.
 
@@ -168,7 +179,7 @@ def _resident_score_topk_stream(
             heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals,
             dir_col, ids, cnts, dirf, heavy_scales,
             k=k, num_docs=num_docs, light_cap=light_cap, P=P, tail=tail,
-            light=light,
+            light=light, light_t=light_t,
         )
         return 0, (tv, ti)
 
@@ -346,6 +357,7 @@ class ResidentSparseIndex:
         self.t_heavy_row = jnp.asarray(heavy_row)
         self.t_starts = jnp.asarray(starts)
         self.t_light_lens = jnp.asarray(light_lens)
+        self._host_light_lens = light_lens  # host copy for query prep
         # light-postings layout: "rows" pre-gathers each term's window into
         # a padded [V+1, C] table — one contiguous row gather per (query,
         # term) at score time instead of B*T*C element gathers through the
@@ -385,7 +397,13 @@ class ResidentSparseIndex:
         T = self.max_query_terms
         ids = np.full(T, self.V, dtype=np.int32)
         cnt = np.zeros(T, dtype=np.float32)
-        for i, (tid, c) in enumerate(list(counts.items())[:T]):
+        # light terms first: lets the scorer slice the light gather to a
+        # short prefix (light_t) — scoring is order-invariant within a row
+        items = sorted(
+            counts.items(),
+            key=lambda tc: self._host_light_lens[tc[0]] == 0,
+        )
+        for i, (tid, c) in enumerate(items[:T]):
             ids[i] = tid
             cnt[i] = c
         if len(counts) > T:
@@ -433,7 +451,28 @@ class ResidentSparseIndex:
                 )
             ids[rows, pos] = terms
             cnt[rows, pos] = counts.astype(np.float32)
+            # light terms first within each row (see query_terms)
+            order = np.argsort(
+                self._host_light_lens[ids] == 0, axis=1, kind="stable"
+            )
+            ids = np.take_along_axis(ids, order, axis=1)
+            cnt = np.take_along_axis(cnt, order, axis=1)
         return ids, cnt
+
+    def light_t_bound(self, ids: np.ndarray) -> int:
+        """Bucketed bound on how many LEADING term slots hold light terms
+        (the static slice length for the scorer's light gather). 0 when the
+        stream has no light terms at all."""
+        mask = self._host_light_lens[np.asarray(ids).reshape(-1, ids.shape[-1])] > 0
+        cols = mask.any(axis=0)
+        if not cols.any():
+            return 0
+        need = int(np.max(np.nonzero(cols)[0])) + 1
+        t = self.max_query_terms
+        b = 4
+        while b < need:
+            b *= 2
+        return min(b, t)
 
     # -- device scoring ---------------------------------------------------------
 
@@ -443,6 +482,7 @@ class ResidentSparseIndex:
         counts: jnp.ndarray,  # [B, T] f32
         k: int,
         dir_filter: Optional[jnp.ndarray] = None,  # [B] int32 or None
+        light_t: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Jitted scoring. The index arrays are jit *arguments* (NOT
         closure constants via a static self — that bakes hundreds of MB of
@@ -453,7 +493,7 @@ class ResidentSparseIndex:
             self.post_docs, self.post_vals, self.dir_col,
             term_ids, counts, dir_filter, self.heavy_scales,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
-            tail=self.tail, light=self.light_layout,
+            tail=self.tail, light=self.light_layout, light_t=light_t,
         )
 
     def score_topk(
@@ -476,7 +516,10 @@ class ResidentSparseIndex:
                     dtype=np.int32,
                 )
             )
-        tv, ti = self._score_topk(jnp.asarray(ids), jnp.asarray(cnts), k, dir_f)
+        tv, ti = self._score_topk(
+            jnp.asarray(ids), jnp.asarray(cnts), k, dir_f,
+            light_t=self.light_t_bound(ids),
+        )
         return np.asarray(tv), np.asarray(ti)
 
     def stream_score_topk_device(
@@ -525,6 +568,7 @@ class ResidentSparseIndex:
             self.heavy_scales,
             k=k, num_docs=self.num_docs, light_cap=self.light_cap, P=self.P,
             tail=self.tail, light=self.light_layout,
+            light_t=self.light_t_bound(ids),
         )
         return tvs, tis, checksum, Q
 
@@ -550,7 +594,7 @@ class ResidentSparseIndex:
     jax.jit,
     static_argnames=(
         "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2",
-        "tail1", "tail2", "light1", "light2",
+        "tail1", "tail2", "light1", "light2", "light_t1", "light_t2",
     ),
 )
 def _dual_resident_score_topk(
@@ -559,6 +603,7 @@ def _dual_resident_score_topk(
     light_cap1: int, light_cap2: int, P1: int, P2: int,
     tail1: str = "xla", tail2: str = "xla",
     light1: str = "csr", light2: str = "csr",
+    light_t1: Optional[int] = None, light_t2: Optional[int] = None,
 ):
     """Score one query batch against two resident indexes (the content and
     know-path routes of the dual-route retrieval) in one compiled step —
@@ -573,13 +618,13 @@ def _dual_resident_score_topk(
         heavy1, hrow1, starts1, lens1, pdocs1, pvals1, dircol1,
         term_ids1, counts1, dir_filter, hs1,
         k=k1, num_docs=num_docs, light_cap=light_cap1, P=P1, tail=tail1,
-        light=light1,
+        light=light1, light_t=light_t1,
     )
     tv2, ti2 = _resident_score_topk(
         heavy2, hrow2, starts2, lens2, pdocs2, pvals2, None,
         term_ids2, counts2, None, hs2,
         k=k2, num_docs=num_docs, light_cap=light_cap2, P=P2, tail=tail2,
-        light=light2,
+        light=light2, light_t=light_t2,
     )
     return tv1, ti1, tv2, ti2
 
@@ -616,6 +661,8 @@ class DualResidentScorer:
             P1=self.content.P, P2=self.path.P,
             tail1=self.content.tail, tail2=self.path.tail,
             light1=self.content.light_layout, light2=self.path.light_layout,
+            light_t1=self.content.light_t_bound(ids1),
+            light_t2=self.path.light_t_bound(ids2),
         )
         # one bulk fetch: separate np.asarray calls each pay a host round
         # trip on remote-attached devices
@@ -663,6 +710,8 @@ class DualResidentScorer:
             P1=self.content.P, P2=self.path.P,
             tail1=self.content.tail, tail2=self.path.tail,
             light1=self.content.light_layout, light2=self.path.light_layout,
+            light_t1=self.content.light_t_bound(ids1),
+            light_t2=self.path.light_t_bound(ids2),
         )
         tv1, ti1, tv2, ti2 = jax.device_get((tv1, ti1, tv2, ti2))
 
@@ -676,7 +725,7 @@ class DualResidentScorer:
     jax.jit,
     static_argnames=(
         "k1", "k2", "num_docs", "light_cap1", "light_cap2", "P1", "P2",
-        "tail1", "tail2", "light1", "light2",
+        "tail1", "tail2", "light1", "light2", "light_t1", "light_t2",
     ),
 )
 def _dual_resident_score_topk_stream(
@@ -685,6 +734,7 @@ def _dual_resident_score_topk_stream(
     light_cap1: int, light_cap2: int, P1: int, P2: int,
     tail1: str = "xla", tail2: str = "xla",
     light1: str = "csr", light2: str = "csr",
+    light_t1: Optional[int] = None, light_t2: Optional[int] = None,
 ):
     """Scan-over-batches form of :func:`_dual_resident_score_topk`:
     ``term_ids*/counts*`` are ``[NB, B, T]``, ``dir_filter`` ``[NB, B]``."""
@@ -696,6 +746,7 @@ def _dual_resident_score_topk_stream(
             k1=k1, k2=k2, num_docs=num_docs,
             light_cap1=light_cap1, light_cap2=light_cap2, P1=P1, P2=P2,
             tail1=tail1, tail2=tail2, light1=light1, light2=light2,
+            light_t1=light_t1, light_t2=light_t2,
         )
         return 0, (tv1, ti1, tv2, ti2)
 

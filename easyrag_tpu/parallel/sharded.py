@@ -354,6 +354,11 @@ class ShardedResidentSparseIndex:
         heavy_terms = np.where(lens > light_cap)[0]
         is_heavy = np.zeros(V + 1, bool)
         is_heavy[heavy_terms] = True
+        # global light lens for the (delegated) query prep: heavy terms 0
+        host_light = np.zeros(V + 1, np.int64)
+        host_light[:V] = lens
+        host_light[heavy_terms] = 0
+        self._host_light_lens = host_light
         H = max(((len(heavy_terms) + 7) // 8) * 8, 8)
         heavy_row = np.full(V + 1, -1, dtype=np.int32)
         heavy_row[heavy_terms] = np.arange(len(heavy_terms))

@@ -234,3 +234,40 @@ def test_light_rows_budget_gate():
     assert small.light_layout == "csr"
     auto = ResidentSparseIndex(index, light_cap=32, max_query_terms=8)
     assert auto.light_layout == "rows"  # 51*32*8 bytes well under default
+
+
+def test_light_prefix_slicing(setup):
+    """Light-first prep + the bucketed light_t prefix: results identical to
+    the full-width light gather, including for callers that pass UNSORTED
+    term arrays (light_t_bound then just grows) and for pure-heavy streams
+    (light_t == 0 skips the light gather entirely)."""
+    corpus, index, _, _ = setup
+    res = ResidentSparseIndex(index, light_cap=32, max_query_terms=16)
+    queries = [["w3", "w14", "w1"], ["w2", "w0", "w5", "w9"]]
+    ids, cnt = res.query_terms_batch(queries)
+    # prep orders light terms into the prefix
+    is_light = res._host_light_lens[ids] > 0
+    for row in is_light:
+        nz = np.nonzero(row)[0]
+        assert len(nz) == 0 or nz.max() == len(nz) - 1
+    bound = res.light_t_bound(ids)
+    full_v, full_i = res._score_topk(ids, cnt, 9, None, light_t=None)
+    cut_v, cut_i = res._score_topk(ids, cnt, 9, None, light_t=bound)
+    np.testing.assert_array_equal(np.asarray(full_v), np.asarray(cut_v))
+    np.testing.assert_array_equal(np.asarray(full_i), np.asarray(cut_i))
+    # scrambled order: bound covers the furthest light column
+    perm = np.arange(ids.shape[1])[::-1].copy()
+    sids, scnt = ids[:, perm], cnt[:, perm]
+    b2 = res.light_t_bound(sids)
+    v2, i2 = res._score_topk(sids, scnt, 9, None, light_t=b2)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(full_v))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(full_i))
+    # pure-heavy stream: every corpus term df > 2 with cap 2 -> no light
+    heavy_only = ResidentSparseIndex(index, light_cap=1, max_query_terms=16)
+    hids, hcnt = heavy_only.query_terms_batch(queries)
+    if (heavy_only._host_light_lens[hids] > 0).any():
+        return  # fixture has df-1 terms; prefix path already covered above
+    assert heavy_only.light_t_bound(hids) == 0
+    hv, hi = heavy_only._score_topk(hids, hcnt, 9, None, light_t=0)
+    rv, ri = heavy_only._score_topk(hids, hcnt, 9, None, light_t=None)
+    np.testing.assert_array_equal(np.asarray(hv), np.asarray(rv))
