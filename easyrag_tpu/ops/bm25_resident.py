@@ -228,6 +228,7 @@ def auto_light_cap(
     itemsize: int,
     heavy_hbm_budget: int,
     max_query_terms: int,
+    kappa_scale: float = 1.0,
 ) -> int:
     """Pick the light/heavy split cap by cost model rather than taking the
     smallest cap that fits the budget. Per scan step,
@@ -246,7 +247,7 @@ def auto_light_cap(
     shift the optimum lower. Sharded indexes pass their per-shard doc count
     as ``num_docs`` (the budget is per shard)."""
     BW_BYTES_PER_MS = 899e6
-    KAPPA_MS = 1.48e-7
+    KAPPA_MS = 1.48e-7 * kappa_scale
     stream_b = 64  # default stream batch (stream_score_topk)
     best_cost, cap = None, None
     c = 8
@@ -304,10 +305,22 @@ class ResidentSparseIndex:
         lens = np.diff(offs).astype(np.int32)
         V = len(lens)
         if light_cap is None:
-            light_cap = auto_light_cap(
+            # KAPPA was fitted on the CSR gather; the rows layout halves
+            # the tail, so pick the cap under the layout that will be
+            # active (rows first, CSR re-pick if its table won't fit)
+            cap = auto_light_cap(
                 lens, index.num_docs, itemsize, heavy_hbm_budget,
-                max_query_terms,
+                max_query_terms, kappa_scale=0.5,
             )
+            rows_ok = light_rows is not False and (
+                (V + 1) * cap * 8 <= light_rows_hbm_budget
+            )
+            if not rows_ok:
+                cap = auto_light_cap(
+                    lens, index.num_docs, itemsize, heavy_hbm_budget,
+                    max_query_terms,
+                )
+            light_cap = cap
         self.light_cap = light_cap
         heavy_terms = np.where(lens > light_cap)[0]
         H = max(int(len(heavy_terms)), 1)
@@ -468,11 +481,13 @@ class ResidentSparseIndex:
         if not cols.any():
             return 0
         need = int(np.max(np.nonzero(cols)[0])) + 1
-        t = self.max_query_terms
         b = 4
         while b < need:
             b *= 2
-        return min(b, t)
+        # clamp to the ARRAY width (callers may pass wider arrays than
+        # max_query_terms) — clamping narrower would silently drop light
+        # contributions
+        return min(b, ids.shape[-1])
 
     # -- device scoring ---------------------------------------------------------
 
@@ -516,10 +531,10 @@ class ResidentSparseIndex:
                     dtype=np.int32,
                 )
             )
-        tv, ti = self._score_topk(
-            jnp.asarray(ids), jnp.asarray(cnts), k, dir_f,
-            light_t=self.light_t_bound(ids),
-        )
+        # light_t stays None here: this is the interactive path (latency is
+        # round-trip bound; a per-call bucket would recompile mid-serving).
+        # The stream entries compute the bound — that is where it pays.
+        tv, ti = self._score_topk(jnp.asarray(ids), jnp.asarray(cnts), k, dir_f)
         return np.asarray(tv), np.asarray(ti)
 
     def stream_score_topk_device(
@@ -661,8 +676,6 @@ class DualResidentScorer:
             P1=self.content.P, P2=self.path.P,
             tail1=self.content.tail, tail2=self.path.tail,
             light1=self.content.light_layout, light2=self.path.light_layout,
-            light_t1=self.content.light_t_bound(ids1),
-            light_t2=self.path.light_t_bound(ids2),
         )
         # one bulk fetch: separate np.asarray calls each pay a host round
         # trip on remote-attached devices

@@ -200,30 +200,6 @@ def test_empty_query_stream(setup):
     assert tv.shape == (0, 5) and ti.shape == (0, 5)
 
 
-def test_light_rows_layout_matches_csr(setup):
-    """The padded term-major light layout ("rows") scores identically to
-    the CSR-window layout across dir filters and the stream form."""
-    _, index, _, _ = setup
-    rows = ResidentSparseIndex(
-        index, light_cap=32, max_query_terms=16, light_rows=True
-    )
-    csr = ResidentSparseIndex(
-        index, light_cap=32, max_query_terms=16, light_rows=False
-    )
-    assert rows.light_layout == "rows" and csr.light_layout == "csr"
-    assert rows.post_docs.ndim == 2 and csr.post_docs.ndim == 1
-    queries = [["w3", "w14"], ["w1", "w2", "w2"], ["w0"]]
-    dvals = ["d1", None, "zzz"]
-    rv, ri = rows.score_topk(queries, 7, dir_values=dvals)
-    cv, ci = csr.score_topk(queries, 7, dir_values=dvals)
-    np.testing.assert_array_equal(rv, cv)
-    np.testing.assert_array_equal(ri, ci)
-    rv2, ri2 = rows.stream_score_topk(queries, 7, batch=2, dir_values=dvals)
-    cv2, ci2 = csr.stream_score_topk(queries, 7, batch=2, dir_values=dvals)
-    np.testing.assert_array_equal(rv2, cv2)
-    np.testing.assert_array_equal(ri2, ci2)
-
-
 def test_light_rows_budget_gate():
     """A tiny rows budget falls back to the CSR layout automatically."""
     corpus = synthetic_corpus(num_docs=80, vocab=50, seed=2)
@@ -236,38 +212,119 @@ def test_light_rows_budget_gate():
     assert auto.light_layout == "rows"  # 51*32*8 bytes well under default
 
 
-def test_light_prefix_slicing(setup):
-    """Light-first prep + the bucketed light_t prefix: results identical to
-    the full-width light gather, including for callers that pass UNSORTED
-    term arrays (light_t_bound then just grows) and for pure-heavy streams
-    (light_t == 0 skips the light gather entirely)."""
-    corpus, index, _, _ = setup
-    res = ResidentSparseIndex(index, light_cap=32, max_query_terms=16)
-    queries = [["w3", "w14", "w1"], ["w2", "w0", "w5", "w9"]]
+@pytest.fixture(scope="module")
+def mixed():
+    """A corpus whose df spread straddles the cap: BOTH the heavy matmul
+    and the light gather carry real mass (the module `setup` fixture's df
+    min is above any small cap, so its light path is vacuous)."""
+    corpus = synthetic_corpus(num_docs=150, vocab=300, seed=9)
+    dirs = [f"d{i % 3}" for i in range(len(corpus))]
+    index = build_sparse_index(corpus, bm25_type=0, dirs=dirs)
+    lens = np.diff(index.stats.term_offsets)
+    assert ((lens > 0) & (lens <= 16)).sum() > 50  # real light terms
+    assert (lens > 16).sum() > 20  # real heavy terms
+    return corpus, index
+
+
+def _mixed_queries(corpus, n=12, seed=4):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        doc = corpus[rng.integers(0, len(corpus))]
+        take = rng.choice(len(doc), size=min(8, len(doc)), replace=False)
+        out.append([doc[i] for i in take])
+    return out
+
+
+def test_mixed_heavy_light_matches_host_oracle(mixed):
+    """Resident scoring == host oracle on a corpus where heavy AND light
+    contributions are both nonzero, in both light layouts."""
+    corpus, index = mixed
+    queries = _mixed_queries(corpus)
+    for light_rows in (True, False):
+        res = ResidentSparseIndex(
+            index, light_cap=16, max_query_terms=16, light_rows=light_rows
+        )
+        ids, cnt = res.query_terms_batch(queries)
+        # non-vacuity: queries hit light terms
+        assert (res._host_light_lens[ids] > 0).any()
+        tv, ti = res.stream_score_topk(queries, 10, batch=4)
+        for i, q in enumerate(queries):
+            host = index.get_scores_host(q)
+            order = np.argsort(host, kind="stable")[::-1]
+            order = order[host[order] > 0][:10]
+            n_fin = int(np.isfinite(tv[i]).sum())
+            assert n_fin == len(order)
+            np.testing.assert_array_equal(ti[i][:n_fin], order)
+            np.testing.assert_allclose(
+                tv[i][:n_fin], host[order], rtol=1e-5, atol=1e-6
+            )
+
+
+def test_light_rows_layout_matches_csr(mixed):
+    """The padded term-major light layout scores identically to the CSR
+    layout on real light mass, across dir filters and the stream form."""
+    _, index = mixed
+    rows = ResidentSparseIndex(
+        index, light_cap=16, max_query_terms=16, light_rows=True
+    )
+    csr = ResidentSparseIndex(
+        index, light_cap=16, max_query_terms=16, light_rows=False
+    )
+    assert rows.light_layout == "rows" and csr.light_layout == "csr"
+    assert rows.post_docs.ndim == 2 and csr.post_docs.ndim == 1
+    queries = _mixed_queries(index and mixed[0] or None, n=6, seed=5)
+    ids, _ = rows.query_terms_batch(queries)
+    assert (rows._host_light_lens[ids] > 0).any()  # non-vacuous
+    dvals = ["d1", None, "zzz", None, "d0", None]
+    rv, ri = rows.score_topk(queries, 7, dir_values=dvals)
+    cv, ci = csr.score_topk(queries, 7, dir_values=dvals)
+    np.testing.assert_array_equal(rv, cv)
+    np.testing.assert_array_equal(ri, ci)
+    rv2, ri2 = rows.stream_score_topk(queries, 7, batch=2, dir_values=dvals)
+    cv2, ci2 = csr.stream_score_topk(queries, 7, batch=2, dir_values=dvals)
+    np.testing.assert_array_equal(rv2, cv2)
+    np.testing.assert_array_equal(ri2, ci2)
+
+
+def test_light_prefix_slicing(mixed):
+    """Light-first prep + the bucketed light_t prefix: identical results,
+    including unsorted caller arrays and the pure-heavy light_t=0 path."""
+    corpus, index = mixed
+    res = ResidentSparseIndex(index, light_cap=16, max_query_terms=16)
+    queries = _mixed_queries(corpus, n=5, seed=6)
     ids, cnt = res.query_terms_batch(queries)
-    # prep orders light terms into the prefix
     is_light = res._host_light_lens[ids] > 0
-    for row in is_light:
+    assert is_light.any()  # non-vacuous
+    for row in is_light:  # prep packs light terms into the prefix
         nz = np.nonzero(row)[0]
         assert len(nz) == 0 or nz.max() == len(nz) - 1
     bound = res.light_t_bound(ids)
+    assert 0 < bound < ids.shape[1]  # the slice actually cuts work
     full_v, full_i = res._score_topk(ids, cnt, 9, None, light_t=None)
     cut_v, cut_i = res._score_topk(ids, cnt, 9, None, light_t=bound)
     np.testing.assert_array_equal(np.asarray(full_v), np.asarray(cut_v))
     np.testing.assert_array_equal(np.asarray(full_i), np.asarray(cut_i))
-    # scrambled order: bound covers the furthest light column
+    # scrambled caller arrays: the bound grows to cover the furthest light
+    # column, results unchanged
     perm = np.arange(ids.shape[1])[::-1].copy()
-    sids, scnt = ids[:, perm], cnt[:, perm]
+    sids, scnt = ids[:, perm].copy(), cnt[:, perm].copy()
     b2 = res.light_t_bound(sids)
+    assert b2 >= ids.shape[1] - bound  # reversed -> light terms at the end
     v2, i2 = res._score_topk(sids, scnt, 9, None, light_t=b2)
-    np.testing.assert_array_equal(np.asarray(v2), np.asarray(full_v))
+    # scatter order differs for permuted slots -> f32 sums differ at ~1e-7
+    np.testing.assert_allclose(
+        np.asarray(v2), np.asarray(full_v), rtol=1e-5, atol=1e-6
+    )
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(full_i))
-    # pure-heavy stream: every corpus term df > 2 with cap 2 -> no light
-    heavy_only = ResidentSparseIndex(index, light_cap=1, max_query_terms=16)
-    hids, hcnt = heavy_only.query_terms_batch(queries)
-    if (heavy_only._host_light_lens[hids] > 0).any():
-        return  # fixture has df-1 terms; prefix path already covered above
-    assert heavy_only.light_t_bound(hids) == 0
-    hv, hi = heavy_only._score_topk(hids, hcnt, 9, None, light_t=0)
-    rv, ri = heavy_only._score_topk(hids, hcnt, 9, None, light_t=None)
+    # pure-heavy queries: light_t == 0 skips the gather, scores unchanged
+    lens = np.diff(index.stats.term_offsets)
+    id2tok = {tid: tok for tok, tid in index.stats.vocab.items()}
+    heavy_vocab = [id2tok[t] for t in np.where(lens > 16)[0][:6]]
+    hq = [heavy_vocab[:4], heavy_vocab[2:6]]
+    hids, hcnt = res.query_terms_batch(hq)
+    assert res.light_t_bound(hids) == 0
+    hv, hi = res._score_topk(hids, hcnt, 9, None, light_t=0)
+    rv, ri = res._score_topk(hids, hcnt, 9, None, light_t=None)
     np.testing.assert_array_equal(np.asarray(hv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(ri))
