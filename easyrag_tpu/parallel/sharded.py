@@ -308,7 +308,9 @@ class ShardedResidentSparseIndex:
 
     def __init__(self, mesh: Mesh, index, light_cap=None, max_query_terms: int = 64,
                  heavy_hbm_budget: int = 512 * 1024 * 1024,
-                 heavy_dtype: str = "float32"):
+                 heavy_dtype: str = "float32",
+                 light_rows: bool = None,
+                 light_rows_hbm_budget: int = 256 * 1024 * 1024):
         from ..ops.bm25_resident import ResidentSparseIndex
 
         if heavy_dtype not in ("float32", "bfloat16", "int8"):
@@ -409,6 +411,28 @@ class ShardedResidentSparseIndex:
                 NamedSharding(mesh, P("data", None)),
             )
 
+        # light layout (same trade as single-chip ops/bm25_resident.py):
+        # "rows" pre-gathers each term's PER-SHARD window into a padded
+        # [V+1, C] table per shard (one row gather per (query, term) at
+        # score time); per-shard cost (V+1)*C*8 bytes.
+        table_bytes = (V + 1) * light_cap * 8
+        if light_rows is None:
+            light_rows = table_bytes <= light_rows_hbm_budget
+        self.light_layout = "rows" if light_rows else "csr"
+        rows_docs = rows_vals = None
+        if light_rows:
+            win = np.arange(light_cap, dtype=np.int64)[None, :]
+            rows_docs = np.empty((n_shards, V + 1, light_cap), np.int32)
+            rows_vals = np.empty((n_shards, V + 1, light_cap), np.float32)
+            for sh in range(n_shards):
+                st = starts_arr[sh].astype(np.int64)
+                ln = lens_arr[sh].astype(np.int64)
+                valid = win < ln[:, None]
+                # sentinel slot: last index of the padded posting arrays
+                pos = np.where(valid, st[:, None] + win, docs_pad.shape[1] - 1)
+                rows_docs[sh] = docs_pad[sh][pos]
+                rows_vals[sh] = np.where(valid, vals_pad[sh][pos], 0.0)
+
         ds = NamedSharding(mesh, P("data", None))
         # compressed heavy dtypes, same semantics as the single-chip index
         # (ops/bm25_resident.py): int8 quantizes per DOC COLUMN over the
@@ -435,8 +459,13 @@ class ShardedResidentSparseIndex:
         self.t_heavy_row = jnp.asarray(heavy_row)
         self.t_starts = jax.device_put(jnp.asarray(starts_arr), ds)
         self.t_lens = jax.device_put(jnp.asarray(lens_arr), ds)
-        self.post_docs = jax.device_put(jnp.asarray(docs_pad), ds)
-        self.post_vals = jax.device_put(jnp.asarray(vals_pad), ds)
+        if light_rows:
+            ds3 = NamedSharding(mesh, P("data", None, None))
+            self.post_docs = jax.device_put(jnp.asarray(rows_docs), ds3)
+            self.post_vals = jax.device_put(jnp.asarray(rows_vals), ds3)
+        else:
+            self.post_docs = jax.device_put(jnp.asarray(docs_pad), ds)
+            self.post_vals = jax.device_put(jnp.asarray(vals_pad), ds)
 
     def query_terms(self, query_tokens):
         from ..ops.bm25_resident import ResidentSparseIndex
@@ -448,16 +477,22 @@ class ShardedResidentSparseIndex:
 
         return ResidentSparseIndex.query_terms_batch(self, queries_tokens)
 
-    @functools.partial(jax.jit, static_argnames=("self", "k"))
+    def light_t_bound(self, ids):
+        from ..ops.bm25_resident import ResidentSparseIndex
+
+        return ResidentSparseIndex.light_t_bound(self, ids)
+
+    @functools.partial(jax.jit, static_argnames=("self", "k", "light_t"))
     def _score_topk_impl(
         self, heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
         dir_col, term_ids, counts, k: int, dir_filter=None,
-        heavy_scales=None,
+        heavy_scales=None, light_t=None,
     ):
         shard_size, num_docs = self.shard_size, self.num_docs
         H, C, P_pad = self.H, self.light_cap, self.max_p
         with_filter = dir_col is not None and dir_filter is not None
         is_int8 = self.heavy_dtype == "int8"
+        light_rows = self.light_layout == "rows"
 
         def shard_fn(heavy, starts, lens, pdocs, pvals, heavy_row, tids, cnts, *rest):
             B, T = tids.shape
@@ -496,19 +531,31 @@ class ShardedResidentSparseIndex:
                     precision=jax.lax.Precision.HIGHEST,
                 )  # [B, shard]
 
-            st = starts[tids]
-            ln = lens[tids]
-            win = jnp.arange(C, dtype=jnp.int32)[None, None, :]
-            valid = win < ln[:, :, None]
-            pos = jnp.where(valid, st[:, :, None] + win, P_pad)
-            docs_local = pdocs[pos] - lo  # sentinel -> out of range
-            vals_g = pvals[pos] * cnts[:, :, None]
+            # light part, sliced to the light-term prefix (host prep
+            # orders light terms first; light_t_bound covers any order)
+            TL = light_t if light_t is not None else T
+            lt_ids = tids[:, :TL]
+            lt_cnts = cnts[:, :TL]
+            if light_rows:
+                # padded [V+1, C] per-shard tables: one row gather per
+                # (query, term); pad slots carry global doc id num_docs
+                docs_g = pdocs[lt_ids]  # [B, TL, C]
+                vals_g = pvals[lt_ids] * lt_cnts[:, :, None]
+            else:
+                st = starts[lt_ids]
+                ln = lens[lt_ids]
+                win = jnp.arange(C, dtype=jnp.int32)[None, None, :]
+                valid = win < ln[:, :, None]
+                pos = jnp.where(valid, st[:, :, None] + win, P_pad)
+                docs_g = pdocs[pos]  # sentinel -> num_docs
+                vals_g = jnp.where(valid, pvals[pos], 0.0) * lt_cnts[:, :, None]
+            docs_local = docs_g - lo
             docs_local = jnp.where(
                 (docs_local >= 0) & (docs_local < shard_size), docs_local, shard_size
             )
-            b3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, T, C))
+            b3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, TL, C))
             scores = scores.at[b3.reshape(B, -1), docs_local.reshape(B, -1)].add(
-                jnp.where(valid, vals_g, 0.0).reshape(B, -1), mode="drop"
+                vals_g.reshape(B, -1), mode="drop"
             )
 
             local_ids = lo + jax.lax.broadcasted_iota(jnp.int32, (1, shard_size), 1)
@@ -525,9 +572,12 @@ class ShardedResidentSparseIndex:
             # single-chip sentinel contract: -inf entries carry index N
             return gv, jnp.where(jnp.isfinite(gv), gi, num_docs)
 
+        post_spec = (
+            P("data", None, None) if light_rows else P("data", None)
+        )
         in_specs = [
             P("data", None), P("data", None), P("data", None),
-            P("data", None), P("data", None), P(None),
+            post_spec, post_spec, P(None),
             P(None, None), P(None, None),
         ]
         args = [
@@ -548,11 +598,12 @@ class ShardedResidentSparseIndex:
             check_vma=False,
         )(*args)
 
-    def _score_topk(self, term_ids, counts, k: int, dir_filter=None):
+    def _score_topk(self, term_ids, counts, k: int, dir_filter=None,
+                    light_t=None):
         return self._score_topk_impl(
             self.heavy, self.t_starts, self.t_lens, self.post_docs,
             self.post_vals, self.t_heavy_row, self.dir_col,
-            term_ids, counts, k, dir_filter, self.heavy_scales,
+            term_ids, counts, k, dir_filter, self.heavy_scales, light_t,
         )
 
     def score_topk(self, queries_tokens, k: int, dir_values=None):
@@ -568,11 +619,11 @@ class ShardedResidentSparseIndex:
         tv, ti = self._score_topk(jnp.asarray(ids), jnp.asarray(cnts), k, dir_f)
         return np.asarray(tv), np.asarray(ti)
 
-    @functools.partial(jax.jit, static_argnames=("self", "k"))
+    @functools.partial(jax.jit, static_argnames=("self", "k", "light_t"))
     def _stream_impl(
         self, heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
         dir_col, term_ids, counts, k: int, dir_filter=None,
-        heavy_scales=None,
+        heavy_scales=None, light_t=None,
     ):
         """Scan-over-batches form of :meth:`_score_topk_impl` — the whole
         query stream in one dispatch, mirroring the single-chip
@@ -584,6 +635,7 @@ class ShardedResidentSparseIndex:
             tv, ti = self._score_topk_impl(
                 heavy, t_starts, t_lens, post_docs, post_vals, t_heavy_row,
                 dir_col, ids, cnts, k, df[0] if df else None, heavy_scales,
+                light_t,
             )
             return 0, (tv, ti)
 
@@ -615,7 +667,7 @@ class ShardedResidentSparseIndex:
             self.post_vals, self.t_heavy_row, self.dir_col,
             jnp.asarray(ids), jnp.asarray(cnts), k,
             jnp.asarray(dir_f) if dir_f is not None else None,
-            self.heavy_scales,
+            self.heavy_scales, self.light_t_bound(ids),
         )
         return tvs, tis, checksum, Q
 

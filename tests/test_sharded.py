@@ -252,3 +252,56 @@ def test_sharded_dense_load_matches_dense_load(mesh, tmp_path):
     mv, mi = loaded.query(q, k)
     np.testing.assert_allclose(np.asarray(mv), np.asarray(sv), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(mi), np.asarray(si))
+
+
+def test_sharded_mixed_light_heavy_matches_single_chip(mesh):
+    """Sharded sparse scoring == single-chip on a corpus with real light
+    AND heavy mass, in both light layouts (rows + CSR) and the stream
+    form — the sharded rows/prefix port's non-vacuous parity gate."""
+    from easyrag_tpu.index.sparse import build_sparse_index
+    from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
+    from easyrag_tpu.parallel.sharded import ShardedResidentSparseIndex
+
+    corpus = synthetic_corpus(num_docs=150, vocab=300, seed=9)
+    dirs = [f"d{i % 3}" for i in range(len(corpus))]
+    index = build_sparse_index(corpus, bm25_type=0, dirs=dirs)
+    lens = np.diff(index.stats.term_offsets)
+    assert ((lens > 0) & (lens <= 16)).sum() > 50 and (lens > 16).sum() > 20
+
+    rng = np.random.default_rng(7)
+    queries = []
+    for _ in range(9):
+        doc = corpus[rng.integers(0, len(corpus))]
+        take = rng.choice(len(doc), size=min(8, len(doc)), replace=False)
+        queries.append([doc[i] for i in take])
+    dvals = ["d1", None, "zzz"] * 3
+
+    single = ResidentSparseIndex(index, light_cap=16, max_query_terms=16)
+    for light_rows in (True, False):
+        sharded = ShardedResidentSparseIndex(
+            mesh, index, light_cap=16, max_query_terms=16,
+            light_rows=light_rows,
+        )
+        ids, _ = sharded.query_terms_batch(queries)
+        assert (sharded._host_light_lens[ids] > 0).any()  # non-vacuous
+        sv, si = single.score_topk(queries, 9, dir_values=dvals)
+        mv, mi = sharded.score_topk(queries, 9, dir_values=dvals)
+        for row in range(len(queries)):
+            finite = np.isfinite(sv[row])
+            np.testing.assert_allclose(
+                mv[row][finite], sv[row][finite], rtol=1e-5
+            )
+            np.testing.assert_array_equal(mi[row][finite], si[row][finite])
+            assert not np.isfinite(mv[row][~finite]).any()
+        sv2, si2 = single.stream_score_topk(
+            queries, 9, batch=4, dir_values=dvals
+        )
+        mv2, mi2 = sharded.stream_score_topk(
+            queries, 9, batch=4, dir_values=dvals
+        )
+        for row in range(len(queries)):
+            finite = np.isfinite(sv2[row])
+            np.testing.assert_allclose(
+                mv2[row][finite], sv2[row][finite], rtol=1e-5
+            )
+            np.testing.assert_array_equal(mi2[row][finite], si2[row][finite])
