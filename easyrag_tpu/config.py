@@ -43,6 +43,9 @@ class TPUConfig:
     # HBM budget for the heavy matrix; smaller budgets raise the auto
     # light_cap (more gather work), larger ones lower it (more MXU work)
     sparse_heavy_hbm_budget: int = 512 * 1024 * 1024
+    # HBM budget for the padded term-major light-postings tables ((V+1)*C*8
+    # bytes per index); tables over budget fall back to the CSR layout
+    sparse_light_rows_hbm_budget: int = 256 * 1024 * 1024
     # shard the retrieval indexes (sparse postings + dense matrix) over the
     # mesh "data" axis: per-shard scoring + local top-k + all-gather merge
     # (parallel/sharded.py). Requires mesh_shape with a "data" axis > 1;

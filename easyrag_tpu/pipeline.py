@@ -210,6 +210,7 @@ class EasyRAGPipeline:
             index=sparse_content_index,
             heavy_dtype=cfg.tpu.sparse_heavy_dtype,
             heavy_hbm_budget=cfg.tpu.sparse_heavy_hbm_budget,
+            light_rows_hbm_budget=cfg.tpu.sparse_light_rows_hbm_budget,
             mesh=self.mesh if cfg.tpu.shard_index else None,
         )
         if cfg.f_topk_3 != 0:
@@ -225,6 +226,7 @@ class EasyRAGPipeline:
                 index=sparse_path_index,
                 heavy_dtype=cfg.tpu.sparse_heavy_dtype,
                 heavy_hbm_budget=cfg.tpu.sparse_heavy_hbm_budget,
+                light_rows_hbm_budget=cfg.tpu.sparse_light_rows_hbm_budget,
                 mesh=self.mesh if cfg.tpu.shard_index else None,
             )
         else:

@@ -54,6 +54,7 @@ class BM25Retriever:
         max_query_terms: int = 64,
         heavy_dtype: str = "float32",
         heavy_hbm_budget: int = 512 * 1024 * 1024,
+        light_rows_hbm_budget: int = 256 * 1024 * 1024,
         mesh=None,
     ) -> None:
         self._nodes = nodes
@@ -107,6 +108,7 @@ class BM25Retriever:
                     max_query_terms=max_query_terms,
                     heavy_hbm_budget=heavy_hbm_budget,
                     heavy_dtype=heavy_dtype,
+                    light_rows_hbm_budget=light_rows_hbm_budget,
                 )
             else:
                 from .ops.bm25_resident import ResidentSparseIndex
@@ -123,6 +125,7 @@ class BM25Retriever:
                     max_query_terms=max_query_terms,
                     heavy_dtype=heavy_dtype,
                     heavy_hbm_budget=heavy_hbm_budget,
+                    light_rows_hbm_budget=light_rows_hbm_budget,
                 )
 
     # -- scoring -------------------------------------------------------------
