@@ -309,7 +309,7 @@ class ShardedResidentSparseIndex:
     def __init__(self, mesh: Mesh, index, light_cap=None, max_query_terms: int = 64,
                  heavy_hbm_budget: int = 512 * 1024 * 1024,
                  heavy_dtype: str = "float32",
-                 light_rows: bool = None,
+                 light_rows: "bool | None" = None,
                  light_rows_hbm_budget: int = 256 * 1024 * 1024):
         from ..ops.bm25_resident import ResidentSparseIndex
 
@@ -331,18 +331,29 @@ class ShardedResidentSparseIndex:
         self.V = V
         if light_cap is None:
             # same cost-model policy as single-chip (ops/bm25_resident.py
-            # ``auto_light_cap``); per-shard doc count, per-shard budget.
-            # When NO cap fits the budget, the fallback of shard_size gives
-            # the minimum FEASIBLE heavy set (terms whose global df exceeds
-            # the per-shard window bound of shard_size must stay heavy for
-            # correctness) — that minimum may still exceed an unsatisfiably
-            # small budget.
+            # ``auto_light_cap``), incl. the rows-aware tail constant:
+            # pick under the rows model first, re-pick with the CSR
+            # constant if the rows table won't fit its per-shard budget.
+            # Per-shard doc count, per-shard budgets. When NO cap fits,
+            # the fallback of shard_size gives the minimum FEASIBLE heavy
+            # set (terms whose global df exceeds the per-shard window
+            # bound must stay heavy for correctness) — that minimum may
+            # still exceed an unsatisfiably small budget.
             from ..ops.bm25_resident import auto_light_cap
 
-            light_cap = auto_light_cap(
+            cap = auto_light_cap(
                 lens, self.shard_size, itemsize, heavy_hbm_budget,
-                max_query_terms,
+                max_query_terms, kappa_scale=0.5,
             )
+            rows_ok = light_rows is not False and (
+                (V + 1) * cap * 8 <= light_rows_hbm_budget
+            )
+            if not rows_ok:
+                cap = auto_light_cap(
+                    lens, self.shard_size, itemsize, heavy_hbm_budget,
+                    max_query_terms,
+                )
+            light_cap = cap
         self.light_cap = light_cap
 
         # shard-local re-pack: postings split by doc range; per-shard CSR
@@ -460,9 +471,12 @@ class ShardedResidentSparseIndex:
         self.t_starts = jax.device_put(jnp.asarray(starts_arr), ds)
         self.t_lens = jax.device_put(jnp.asarray(lens_arr), ds)
         if light_rows:
+            # device_put straight from host numpy: jnp.asarray first would
+            # land the full (n_shards, V+1, C) tables on one device before
+            # resharding — the OOM the per-shard budget exists to prevent
             ds3 = NamedSharding(mesh, P("data", None, None))
-            self.post_docs = jax.device_put(jnp.asarray(rows_docs), ds3)
-            self.post_vals = jax.device_put(jnp.asarray(rows_vals), ds3)
+            self.post_docs = jax.device_put(rows_docs, ds3)
+            self.post_vals = jax.device_put(rows_vals, ds3)
         else:
             self.post_docs = jax.device_put(jnp.asarray(docs_pad), ds)
             self.post_vals = jax.device_put(jnp.asarray(vals_pad), ds)
@@ -547,8 +561,8 @@ class ShardedResidentSparseIndex:
                 win = jnp.arange(C, dtype=jnp.int32)[None, None, :]
                 valid = win < ln[:, :, None]
                 pos = jnp.where(valid, st[:, :, None] + win, P_pad)
-                docs_g = pdocs[pos]  # sentinel -> num_docs
-                vals_g = jnp.where(valid, pvals[pos], 0.0) * lt_cnts[:, :, None]
+                docs_g = pdocs[pos]  # sentinel -> num_docs, val 0.0
+                vals_g = pvals[pos] * lt_cnts[:, :, None]
             docs_local = docs_g - lo
             docs_local = jnp.where(
                 (docs_local >= 0) & (docs_local < shard_size), docs_local, shard_size

@@ -305,3 +305,4 @@ def test_sharded_mixed_light_heavy_matches_single_chip(mesh):
                 mv2[row][finite], sv2[row][finite], rtol=1e-5
             )
             np.testing.assert_array_equal(mi2[row][finite], si2[row][finite])
+            assert not np.isfinite(mv2[row][~finite]).any()
