@@ -32,7 +32,8 @@ N_QUERIES = 4096  # large enough that the ~30ms tunnel round trip amortizes
 QUERY_TERMS = 12
 BATCH = 64
 TOPK = 192
-BASELINE_QUERIES = 16  # the python path is slow; extrapolate from fewer
+BASELINE_QUERIES = 64  # the python path is slow; extrapolate from fewer
+BASELINE_PASSES = 3  # best-of-N: machine-load noise must not inflate our ratio
 
 
 def make_corpus(rng):
@@ -121,11 +122,11 @@ def main() -> None:
     corpus = make_corpus(rng)
     queries = make_queries(rng, corpus)
 
-    # ---- baseline: reference CPU path (best of 2 passes: machine-load
-    # noise should not inflate our ratio) ----
+    # ---- baseline: reference CPU path (best of N passes over a widened
+    # sample: machine-load noise must not inflate our ratio) ----
     ref = ReferenceBM25(corpus)
     best = float("inf")
-    for _ in range(2):
+    for _ in range(BASELINE_PASSES):
         t0 = time.perf_counter()
         for q in queries[:BASELINE_QUERIES]:
             ref.query_topk(q, TOPK)
@@ -222,12 +223,16 @@ def bench_dense(rng) -> tuple:
     ours_qps = N_QUERIES / best
 
     # CPU flat-scan baseline on a handful of queries, extrapolated
+    # (best-of-N passes, same policy as the sparse baseline)
     mat_np = rng.standard_normal((N, D), dtype=np.float32)
     q_np = rng.standard_normal((BASELINE_QUERIES, D), dtype=np.float32)
-    t0 = time.perf_counter()
-    scores = q_np @ mat_np.T
-    np.argpartition(-scores, K, axis=1)[:, :K]
-    cpu_qps = BASELINE_QUERIES / (time.perf_counter() - t0)
+    cpu_best = float("inf")
+    for _ in range(BASELINE_PASSES):
+        t0 = time.perf_counter()
+        scores = q_np @ mat_np.T
+        np.argpartition(-scores, K, axis=1)[:, :K]
+        cpu_best = min(cpu_best, time.perf_counter() - t0)
+    cpu_qps = BASELINE_QUERIES / cpu_best
     return ours_qps, ours_qps / cpu_qps
 
 
@@ -290,5 +295,127 @@ def bench_reranker() -> tuple:
     return best * 1000.0, mfu
 
 
+def main_mesh(spec: str) -> None:
+    """``--mesh data=4,model=2``: run the SAME metrics through the sharded
+    index classes (``tpu.shard_index`` surfaces) over a device mesh, so a
+    future multi-chip attachment measures with one command. When the
+    attachment has fewer devices than the mesh asks for, fall back to
+    virtual CPU devices (correctness mode — throughput numbers then
+    characterize the host, not TPU hardware, and are labeled as such)."""
+    global N_DOCS, N_QUERIES  # make_corpus/make_queries read the module knobs
+    import os
+
+    axes = []
+    for part in spec.split(","):
+        name, _, size = part.partition("=")
+        axes.append((name.strip(), int(size)))
+    n_needed = 1
+    for _, s in axes:
+        n_needed *= s
+
+    correctness_mode = False
+    import jax
+
+    if os.environ.get("_BENCH_MESH_REEXEC") == "1":
+        # child: this container's site hook pins the axon TPU platform, so
+        # (as in tests/conftest.py) the override must go through jax.config
+        # — XLA_FLAGS from the parent still applies because the CPU backend
+        # initializes on first use
+        jax.config.update("jax_platforms", "cpu")
+        correctness_mode = True
+    elif len(jax.devices()) < n_needed:
+        # not enough real devices: re-exec under a virtual CPU mesh (the
+        # device-count flag must be in the environment before any backend
+        # init, and this process has already initialized one)
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["_BENCH_MESH_REEXEC"] = "1"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_needed}"
+        )
+        raise SystemExit(subprocess.call([sys.executable] + sys.argv, env=env))
+
+    from easyrag_tpu.index.sparse import build_sparse_index
+    from easyrag_tpu.parallel.mesh import make_mesh
+    from easyrag_tpu.parallel.sharded import (
+        ShardedDenseIndex,
+        ShardedResidentSparseIndex,
+    )
+
+    mesh = make_mesh([s for _, s in axes], tuple(n for n, _ in axes))
+    # CPU correctness mode shrinks the problem (the python-side prep and the
+    # host "device" math would otherwise take minutes); real attachments run
+    # the full bench shape
+    n_docs = 4_000 if correctness_mode else N_DOCS
+    n_queries = 512 if correctness_mode else N_QUERIES
+
+    rng = np.random.default_rng(0)
+    N_DOCS, N_QUERIES = n_docs, n_queries
+    corpus = make_corpus(rng)
+    queries = make_queries(rng, corpus)
+
+    index = build_sparse_index(corpus, bm25_type=0)
+    sharded = ShardedResidentSparseIndex(
+        mesh, index, max_query_terms=16, heavy_hbm_budget=1 << 30
+    )
+
+    def run_sparse():
+        tvs, tis = sharded.stream_score_topk(queries, TOPK, batch=BATCH)
+        return int(np.asarray(tis).sum())  # host materialization barrier
+
+    run_sparse()  # warmup/compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_sparse()
+        best = min(best, time.perf_counter() - t0)
+    sparse_qps = n_queries / best
+
+    # dense: same reference operating point, row-sharded matrix
+    D, K, B = 3584, 288, 64
+    mat = rng.standard_normal((n_docs, D)).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    dense = ShardedDenseIndex(mesh, mat)
+    q = rng.standard_normal((n_queries, D)).astype(np.float32)
+
+    def run_dense():
+        tvs, tis = dense.query_stream(q, K, batch=B)
+        return int(np.asarray(tis).sum())
+
+    run_dense()  # warmup/compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run_dense()
+        best = min(best, time.perf_counter() - t0)
+    dense_qps = n_queries / best
+
+    print(
+        json.dumps(
+            {
+                "metric": "sharded_sparse_query_throughput",
+                "value": round(sparse_qps, 2),
+                "unit": "queries/s",
+                "vs_baseline": 0.0,
+                "extra": {
+                    "mesh": {n: s for n, s in axes},
+                    "backend": jax.default_backend(),
+                    "correctness_mode": correctness_mode,
+                    "n_docs": n_docs,
+                    "sharded_dense_qps": round(dense_qps, 2),
+                },
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--mesh" in sys.argv:
+        main_mesh(sys.argv[sys.argv.index("--mesh") + 1])
+    else:
+        main()
