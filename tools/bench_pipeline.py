@@ -1,0 +1,467 @@
+"""Whole-system co-resident benchmark: the reference's actual unit of value
+— ``run(query)`` end to end — with every serving component loaded on ONE
+chip simultaneously, the reference's deployment shape (one 16 GB GPU,
+``/root/reference/README.md:27``; run path
+``src/easyrag/pipeline/pipeline.py:323-345``).
+
+Co-resident HBM tenants (all at true architecture scale, random weights
+generated ON DEVICE — uploads crawl through the axon tunnel; timing is
+identical to real weights):
+
+* gte-Qwen2-7B embedder, int8 weight-only matmuls + full-vocab bf16 embed
+  table (~7.6 GB)
+* bge-reranker-v2-minicpm-layerwise at true depth (40 layers, bf16,
+  ~5.5 GB incl. the 122k-vocab embed table); the default route runs
+  layers [0, 28) (``cutoff_layers=[28]``, ``rerankers.py:162``)
+* resident sparse content index (top-192) + know-path index (top-6) over a
+  20k-chunk synthetic corpus booted through the REAL ``EasyRAGPipeline``
+* dense cosine index 20k x 3584 bf16 (the qdrant replacement; resident for
+  route servability even though the default route is sparse)
+
+Measured:
+1. HBM occupancy with everything loaded (the co-residency proof)
+2. full ``run(query)`` p50/p95 — sparse dual route -> fusion(<=198) ->
+   rerank in 32-pair batches at cutoff 28 -> top-6 context -> stubbed
+   generation
+3. the same with early exit (``r_use_efficient=1``): exit-taken (judge
+   fires at layer 12) and exit-declined (two-segment protocol overhead)
+4. retrieval-only batch qps co-resident (does model pressure slow the
+   stream scorers?)
+5. dense route INCLUDING query embedding: short-query (S=64) batch through
+   the int8 7B embedder -> fused cosine top-288 (VERDICT r2 item #3)
+
+Run: python tools/bench_pipeline.py [--docs 20000] [--queries 5]
+     [--skip-embedder] [--tiny]
+"""
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE = "/tmp/easyrag_pipe_bench"
+
+
+class CharTokenizer:
+    """Deterministic 1-char-per-token tokenizer for driving the reranker at
+    its real sequence shape without a checkpoint vocabulary. Host-side
+    tokenization cost is negligible either way; what the benchmark must get
+    right is the TOKEN COUNT per pair, which this pins exactly."""
+
+    bos_token_id = 1
+    pad_token_id = 0
+    padding_side = "right"  # the shipped checkpoint declares right padding
+
+    def __init__(self, vocab: int) -> None:
+        self.vocab = vocab
+
+    def __call__(self, text, add_special_tokens=False, max_length=None, truncation=False):
+        ids = [(hash(ch) % (self.vocab - 2)) + 2 for ch in text]
+        if max_length is not None and truncation:
+            ids = ids[:max_length]
+        return {"input_ids": ids}
+
+
+class StubLLM:
+    """Generation stub: instant canned answer (the reference's generation is
+    a network call to GLM-4 — out of scope for on-chip measurement)."""
+
+    async def acomplete(self, prompt: str):
+        from easyrag_tpu.generation import CompletionResponse
+
+        return CompletionResponse(text="无法确定")
+
+
+def build_corpus_on_disk(root: str, n_docs: int, rng) -> None:
+    """Synthetic corpus shaped like the zedx chunk set (~300 tokens/doc,
+    Zipfian 40k vocab), written as one-chunk .txt files the real ingestion
+    layer reads. Cached across runs."""
+    marker = os.path.join(root, f".done_{n_docs}")
+    if os.path.exists(marker):
+        return
+    import shutil
+
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    zipf = 1.0 / np.arange(1, 40_000 + 1)
+    zipf /= zipf.sum()
+    dirs = ["director", "emsplus", "rcp", "umac"]
+    pathmap = {}
+    docs_per_file = 10  # 10 chunks per file keeps the file count sane
+    n_files = (n_docs + docs_per_file - 1) // docs_per_file
+    for f in range(n_files):
+        d = dirs[f % 4]
+        os.makedirs(os.path.join(root, d), exist_ok=True)
+        parts = []
+        for c in range(docs_per_file):
+            length = max(30, int(rng.poisson(300)))
+            toks = rng.choice(40_000, size=length, p=zipf)
+            parts.append(" ".join(f"t{t}" for t in toks))
+        # \n\n\n is the splitter's paragraph separator: each part becomes
+        # its own chunk (300 "words" < chunk_size)
+        body = f"文档{f}\n" + "\n\n\n".join(parts)
+        rel = os.path.join(d, f"doc{f}.txt")
+        with open(os.path.join(root, rel), "w", encoding="utf-8") as fh:
+            fh.write(body)
+        pathmap[rel] = ["知识", d, f"doc{f}"]
+    with open(os.path.join(root, "pathmap.json"), "w", encoding="utf-8") as fh:
+        json.dump(pathmap, fh)
+    open(marker, "w").close()
+
+
+def make_embedder_params_int8(cfg, key):
+    """Random int8 weight-only 7B params generated directly on device — the
+    exact leaf layout ``hf_loader.quantize_linear_int8`` produces, without
+    ever materializing the 14 GB bf16 tree."""
+    import jax
+    import jax.numpy as jnp
+
+    def q8(key, n_in, n_out, bias):
+        kw, = jax.random.split(key, 1)
+        w_q = jax.random.randint(kw, (n_out, n_in), -127, 128, jnp.int32).astype(jnp.int8)
+        # scale ~= 0.02 / std(uniform +-127): realistic weight magnitudes
+        p = {"w_q": w_q, "scale": jnp.full((n_out,), 0.02 / 73.0, jnp.float32)}
+        if bias:
+            p["b"] = jnp.zeros((n_out,), cfg.dtype)
+        return p
+
+    d, hd = cfg.hidden_size, cfg.hd
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        k = jax.random.split(keys[i], 8)
+        layers.append(
+            {
+                "input_norm": jnp.ones((d,), cfg.dtype),
+                "post_norm": jnp.ones((d,), cfg.dtype),
+                "attn": {
+                    "q": q8(k[0], d, cfg.num_attention_heads * hd, cfg.attention_bias),
+                    "k": q8(k[1], d, cfg.num_key_value_heads * hd, cfg.attention_bias),
+                    "v": q8(k[2], d, cfg.num_key_value_heads * hd, cfg.attention_bias),
+                    "o": q8(k[3], cfg.num_attention_heads * hd, d, False),
+                },
+                "mlp": {
+                    "gate": q8(k[4], d, cfg.intermediate_size, False),
+                    "up": q8(k[5], d, cfg.intermediate_size, False),
+                    "down": q8(k[6], cfg.intermediate_size, d, False),
+                },
+            }
+        )
+    return {
+        "embed": jax.random.normal(keys[-2], (cfg.vocab_size, d), cfg.dtype) * 0.02,
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+    }
+
+
+_ACCOUNTED = {}  # tag -> bytes of arrays we allocated (axon has no memory_stats)
+
+
+def account(tag: str, tree) -> None:
+    import jax
+
+    _ACCOUNTED[tag] = sum(
+        x.nbytes for x in jax.tree.leaves(tree) if isinstance(x, jax.Array)
+    )
+
+
+def hbm_stats(tag: str):
+    """Device-reported occupancy when the backend supports it; otherwise the
+    explicit allocation ledger (parameter/index arrays we device_put) — an
+    UNDERcount (excludes XLA temporaries) but an honest residency floor."""
+    import jax
+
+    dev = jax.devices()[0]
+    stats = None
+    try:
+        stats = dev.memory_stats()
+    except Exception:
+        pass
+    if stats:
+        used = stats.get("bytes_in_use", 0)
+        limit = stats.get("bytes_limit", 0)
+        print(f"[hbm] {tag}: {used/2**30:.2f} GiB in use"
+              + (f" / {limit/2**30:.2f} GiB" if limit else ""), flush=True)
+        return used
+    used = sum(_ACCOUNTED.values())
+    detail = ", ".join(f"{k} {v/2**30:.2f}" for k, v in _ACCOUNTED.items())
+    print(f"[hbm] {tag}: >= {used/2**30:.2f} GiB accounted ({detail}) "
+          f"[backend reports no memory_stats]", flush=True)
+    return used
+
+
+def build_system(tiny: bool = False, docs: int = 20_000, with_embedder: bool = True):
+    """Boot the full co-resident system (corpus -> real pipeline + reranker
+    at true scale + int8 7B embedder + dense index). Returns a namespace
+    shared by this benchmark and ``tools/bench_serving.py``."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import RERANKER_2B
+    from easyrag_tpu.config import EasyRAGConfig, TPUConfig
+    from easyrag_tpu.index.dense import DenseIndex
+    from easyrag_tpu.models.layers import DecoderConfig, init_params
+    from easyrag_tpu.models.minicpm import MiniCPMLayerWiseReranker
+    from easyrag_tpu.pipeline import EasyRAGPipeline
+    from easyrag_tpu.rerankers import LLMRerank
+
+    rng = np.random.default_rng(0)
+    t_setup = time.perf_counter()
+
+    # ---- corpus + pipeline boot (real ingestion + resident sparse) --------
+    n_docs = 200 if tiny else docs
+    corpus_dir = os.path.join(CACHE, f"corpus_{n_docs}")
+    build_corpus_on_disk(corpus_dir, n_docs, rng)
+
+    # ---- reranker at true scale ------------------------------------------
+    if tiny:
+        rr_arch = dict(
+            vocab_size=512, hidden_size=128, intermediate_size=256,
+            num_attention_heads=2, num_key_value_heads=2,
+            scale_emb=12.0, scale_depth=1.4, dim_model_base=64.0,
+        )
+        rr_layers, rr_cutoff, judge_layer = 4, 3, 2
+    else:
+        # true checkpoint shape: 40 layers, 122k vocab (the default route
+        # reads the layer-28 head; full depth is resident as deployed)
+        rr_arch = dict(RERANKER_2B, vocab_size=122_753)
+        rr_layers, rr_cutoff, judge_layer = 40, 28, 12
+    rr_cfg = DecoderConfig(
+        num_hidden_layers=rr_layers,
+        use_flash=jax.default_backend() != "cpu",
+        dtype=jnp.bfloat16,
+        **rr_arch,
+    )
+    rr_params = init_params(rr_cfg, jax.random.key(0))
+    rr_params["heads"] = {
+        layer: jax.random.normal(jax.random.fold_in(jax.random.key(2), layer),
+                                 (1, rr_cfg.hidden_size), jnp.float32) * 0.02
+        for layer in range(8 if not tiny else 1, rr_layers + 1)
+    }
+    scorer = MiniCPMLayerWiseReranker(
+        rr_cfg, rr_params, CharTokenizer(rr_arch["vocab_size"]),
+        start_layer=8 if not tiny else 1,
+        cutoff_layer=rr_cutoff,
+        efficient_layers=(judge_layer,),
+        use_efficient=0,
+        max_length=1024,
+    )
+    reranker = LLMRerank(scorer, top_n=6, embed_bs=32, embed_type=0)
+    account("reranker", rr_params)
+    hbm_stats("reranker loaded")
+
+    # ---- embedder at true scale (int8) -----------------------------------
+    embed_params = None
+    if with_embedder:
+        if tiny:
+            em_arch = dict(hidden_size=128, intermediate_size=256,
+                           num_hidden_layers=2, num_attention_heads=2,
+                           num_key_value_heads=1, vocab_size=512)
+        else:
+            em_arch = dict(hidden_size=3584, intermediate_size=18944,
+                           num_hidden_layers=28, num_attention_heads=28,
+                           num_key_value_heads=4, vocab_size=151_643)
+        em_cfg = DecoderConfig(
+            attention_bias=True, use_flash=jax.default_backend() != "cpu",
+            dtype=jnp.bfloat16, **em_arch,
+        )
+        embed_params = make_embedder_params_int8(em_cfg, jax.random.key(7))
+        account("embedder", embed_params)
+        hbm_stats("embedder loaded")
+
+    # ---- dense index (route servability; generated on device) ------------
+    dvec = 64 if tiny else 3584
+    dmat = jax.random.normal(jax.random.key(9), (n_docs, dvec), jnp.bfloat16)
+    dmat = dmat / jnp.linalg.norm(dmat.astype(jnp.float32), axis=1, keepdims=True).astype(jnp.bfloat16)
+    dense_index = DenseIndex(matrix=dmat)
+    account("dense_index", {"m": dmat})
+    hbm_stats("dense index loaded")
+
+    # ---- boot the real pipeline over the corpus --------------------------
+    cfg = EasyRAGConfig(
+        re_only=False,
+        retrieval_type=2,
+        use_reranker=2,
+        data_path=corpus_dir,
+        index_artifact_path=os.path.join(CACHE, f"artifact_{n_docs}"),
+        # the splitter merges adjacent ~300-token parts up to chunk_size;
+        # 384 keeps one part per chunk so the chunk count ≈ --docs and the
+        # chunk-length distribution matches the zedx stats the component
+        # benches use (the reference's 1024 would fuse 3 parts per chunk)
+        chunk_size=384,
+        chunk_overlap=0,
+        f_topk_2=192 if not tiny else 16,
+        f_topk_3=6 if not tiny else 2,
+        r_topk=6,
+        r_embed_bs=32,
+        tpu=TPUConfig(use_pallas=False),
+    )
+    pipeline = EasyRAGPipeline(cfg, llm=StubLLM(), reranker=reranker)
+    n_nodes = len(pipeline.nodes)
+    print(f"[boot] {n_nodes} nodes in {time.perf_counter()-t_setup:.1f}s", flush=True)
+    for name, retr in (("sparse_content", pipeline.sparse_retriever),
+                       ("sparse_path", pipeline.path_retriever)):
+        res = getattr(retr, "_resident", None)
+        if res is not None:
+            account(name, vars(res))
+    used = hbm_stats("ALL CO-RESIDENT")
+
+    return SimpleNamespace(
+        pipeline=pipeline, scorer=scorer, reranker=reranker,
+        em_cfg=em_cfg if with_embedder else None, embed_params=embed_params,
+        dense_index=dense_index, n_nodes=n_nodes, hbm_used=used, rng=rng,
+        tiny=tiny,
+    )
+
+
+def make_query(sys_ns):
+    """A 12-term query sampled from real node contents (Zipf-head terms
+    excluded, emulating stopword removal)."""
+    rng, pipeline = sys_ns.rng, sys_ns.pipeline
+    stop = {f"t{t}" for t in range(32)}
+    node = pipeline.nodes[rng.integers(0, sys_ns.n_nodes)]
+    toks = [t for t in node.get_content().split() if t not in stop][:400]
+    take = rng.choice(len(toks), size=min(12, len(toks)), replace=False)
+    return " ".join(toks[i] for i in take)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20_000)
+    ap.add_argument("--queries", type=int, default=5)
+    ap.add_argument("--retrieval-queries", type=int, default=512)
+    ap.add_argument("--skip-embedder", action="store_true",
+                    help="skip the 7B embedder (residency + dense route)")
+    ap.add_argument("--skip-exit", action="store_true",
+                    help="skip the early-exit p50 variants")
+    ap.add_argument("--tiny", action="store_true",
+                    help="toy scale: smoke-tests the tool itself (CPU-safe)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    ns = build_system(tiny=args.tiny, docs=args.docs,
+                      with_embedder=not args.skip_embedder)
+    pipeline, scorer, reranker = ns.pipeline, ns.scorer, ns.reranker
+    dense_index, n_nodes, used = ns.dense_index, ns.n_nodes, ns.hbm_used
+    em_cfg, embed_params = ns.em_cfg, ns.embed_params
+
+    loop = asyncio.new_event_loop()
+    queries = [make_query(ns) for _ in range(max(args.queries, 3))]
+
+
+    # ---- retrieval-only batch qps co-resident ----------------------------
+    saved_rr = pipeline.reranker
+    pipeline.reranker = None
+    rq = [{"query": make_query(ns)} for _ in range(args.retrieval_queries)]
+    print("[retrieval-only] warming the stream scorer...", flush=True)
+    loop.run_until_complete(pipeline.run_retrieval_batch(rq))  # warm/compile
+    print("[retrieval-only] warm, timing", flush=True)
+    t0 = time.perf_counter()
+    loop.run_until_complete(pipeline.run_retrieval_batch(rq))
+    retr_qps = len(rq) / (time.perf_counter() - t0)
+    pipeline.reranker = saved_rr
+    print(f"[retrieval-only] {retr_qps:.0f} qps co-resident", flush=True)
+
+    # ---- full run(query) p50: cutoff 28 ----------------------------------
+    def timed_runs(tag, n):
+        times = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            res = loop.run_until_complete(
+                pipeline.run({"query": queries[i % len(queries)]})
+            )
+            times.append(time.perf_counter() - t0)
+            assert res["contexts"]
+        times = np.array(times)
+        print(
+            f"[{tag}] p50 {np.percentile(times, 50)*1000:.0f} ms  "
+            f"p95 {np.percentile(times, 95)*1000:.0f} ms  "
+            f"({n} queries, {1/np.mean(times):.3f} qps)",
+            flush=True,
+        )
+        return float(np.percentile(times, 50))
+
+    # warm/compile the rerank path once
+    print("[full route] compiling the rerank path...", flush=True)
+    loop.run_until_complete(pipeline.run({"query": queries[0]}))
+    p50_full = timed_runs("full route, cutoff 28", args.queries)
+
+    p50_exit = p50_noexit = None
+    if not args.skip_exit:
+        # early exit ON, exit TAKEN: t=0 -> the layer-12 judge always fires
+        # (random weights can't produce the checkpoint's score distribution,
+        # so exit-rate is forced; the COST of the exit path is what's
+        # measured — the reference's claimed saving, minus nothing)
+        scorer.use_efficient = 1
+        reranker.use_efficient = 1
+        scorer.efficient_t = 0.0
+        loop.run_until_complete(pipeline.run({"query": queries[0]}))  # compile segs
+        p50_exit = timed_runs("full route, exit taken @12", args.queries)
+
+        # exit DECLINED: t>1 never fires; measures the two-segment protocol
+        # overhead vs the single-segment cutoff-28 run
+        scorer.efficient_t = 2.0
+        loop.run_until_complete(pipeline.run({"query": queries[0]}))
+        p50_noexit = timed_runs("full route, exit declined", max(3, args.queries // 2))
+        scorer.use_efficient = 0
+        reranker.use_efficient = 0
+
+    # ---- dense route incl. query embedding (short-seq bucket) ------------
+    dense_route = None
+    if embed_params is not None:
+        from easyrag_tpu.models.layers import forward_hidden
+
+        B, S = 32, 64  # short-query bucket: queries are ~a dozen terms
+
+        @jax.jit
+        def embed_and_search(p, ids, mask, matrix):
+            h = forward_hidden(em_cfg, p, ids, mask)  # [B, S, D]
+            q = h[:, -1, :]  # last-token pooling (gte contract)
+            q = q / jnp.linalg.norm(q.astype(jnp.float32), axis=1, keepdims=True).astype(q.dtype)
+            from easyrag_tpu.index.dense import dense_score_topk
+
+            tv, ti = dense_score_topk(q, matrix, 288 if not args.tiny else 8)
+            return tv, ti, ti.sum()
+
+        ids = jax.random.randint(jax.random.key(11), (B, S), 0, em_cfg.vocab_size)
+        mask = jnp.ones((B, S), jnp.int32)
+        t0 = time.perf_counter()
+        _, _, cks = embed_and_search(embed_params, ids, mask, dense_index.matrix)
+        int(cks)
+        print(f"[dense route] compile+first run {time.perf_counter()-t0:.1f}s", flush=True)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, _, cks = embed_and_search(embed_params, ids, mask, dense_index.matrix)
+            int(cks)
+            best = min(best, time.perf_counter() - t0)
+        dense_route = B / best
+        print(
+            f"[dense route incl. embedding] {dense_route:.0f} qps "
+            f"({best*1000:.0f} ms / {B}-query batch, S={S}, int8 7B embed + top-288)",
+            flush=True,
+        )
+
+    print(json.dumps({
+        "pipeline_p50_ms_cutoff28": round(p50_full * 1000, 1),
+        "pipeline_p50_ms_exit12": round(p50_exit * 1000, 1) if p50_exit else None,
+        "pipeline_p50_ms_exit_declined": round(p50_noexit * 1000, 1) if p50_noexit else None,
+        "retrieval_only_qps_coresident": round(retr_qps, 1),
+        "dense_route_incl_embed_qps": round(dense_route, 1) if dense_route else None,
+        "hbm_bytes_in_use": used,
+        "n_nodes": n_nodes,
+    }))
+
+
+if __name__ == "__main__":
+    main()

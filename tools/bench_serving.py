@@ -1,0 +1,110 @@
+"""Serving benchmark under concurrency (VERDICT r2 item #5): drive the real
+HTTP API (``serving/api.py``) with N concurrent full-RAG requests on the
+co-resident system — generation stubbed, reranker real at 2B scale — with
+the cross-request reranker coalescer ON vs OFF.
+
+Reports p50/p99 request latency, aggregate qps, and the judge-batch worst
+case: with early exit on, EVERY concurrent fresh query needs its own
+un-fused judge batch (``serving/coalesce.py`` isolates judge batches by
+design, so the worst case is C concurrent judge dispatches serializing on
+the chip).
+
+Run: python tools/bench_serving.py [--tiny] [--concurrency 4] [--requests 12]
+     [--exit] [--no-coalesce]
+"""
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench_pipeline import build_system, make_query  # noqa: E402
+
+
+async def drive(app, n_requests: int, concurrency: int, queries):
+    """In-process aiohttp server on an ephemeral port + concurrent client
+    load. Returns per-request latencies (seconds)."""
+    from aiohttp import ClientSession, web
+
+    runner = web.AppRunner(app)
+    await runner.setup()
+    site = web.TCPSite(runner, "127.0.0.1", 0)
+    await site.start()
+    port = site._server.sockets[0].getsockname()[1]
+    url = f"http://127.0.0.1:{port}/v1/rag"
+
+    latencies = []
+    sem = asyncio.Semaphore(concurrency)
+
+    async with ClientSession() as session:
+
+        async def one(i):
+            async with sem:
+                t0 = time.perf_counter()
+                async with session.post(
+                    url, json={"query": queries[i % len(queries)]}
+                ) as resp:
+                    body = await resp.json()
+                    assert resp.status == 200, body
+                    assert body["contexts"]
+                latencies.append(time.perf_counter() - t0)
+
+        # warm (compiles) outside the timed window
+        await one(0)
+        latencies.clear()
+        t0 = time.perf_counter()
+        await asyncio.gather(*(one(i) for i in range(n_requests)))
+        wall = time.perf_counter() - t0
+
+    await runner.cleanup()
+    return np.array(latencies), wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--docs", type=int, default=20_000)
+    ap.add_argument("--concurrency", type=int, default=4)
+    ap.add_argument("--requests", type=int, default=12)
+    ap.add_argument("--exit", dest="use_exit", action="store_true",
+                    help="early exit on (judge-batch worst case)")
+    ap.add_argument("--no-coalesce", action="store_true")
+    args = ap.parse_args()
+
+    from easyrag_tpu.serving.api import create_app
+
+    ns = build_system(tiny=args.tiny, docs=args.docs, with_embedder=False)
+    queries = [make_query(ns) for _ in range(max(args.requests, 8))]
+
+    if args.use_exit:
+        ns.scorer.use_efficient = 1
+        ns.reranker.use_efficient = 1
+        ns.scorer.efficient_t = 0.0  # judge always fires (see bench_pipeline)
+
+    ns.pipeline.config.serve_coalesce_rerank = not args.no_coalesce
+    app = create_app(ns.pipeline)
+    coalesced = getattr(ns.pipeline.reranker.scorer, "coalesce", False)
+
+    lat, wall = asyncio.new_event_loop().run_until_complete(
+        drive(app, args.requests, args.concurrency, queries)
+    )
+    out = {
+        "mode": ("exit@judge" if args.use_exit else "cutoff28")
+        + ("+coalesce" if coalesced else ""),
+        "concurrency": args.concurrency,
+        "requests": args.requests,
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
+        "p99_ms": round(float(np.percentile(lat, 99)) * 1000, 1),
+        "qps": round(args.requests / wall, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
