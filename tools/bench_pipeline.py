@@ -278,7 +278,7 @@ def build_system(tiny: bool = False, docs: int = 20_000, with_embedder: bool = T
         hbm_stats("embedder loaded")
 
     # ---- dense index (route servability; generated on device) ------------
-    dvec = 64 if tiny else 3584
+    dvec = 128 if tiny else 3584  # = embedder hidden (route composability)
     dmat = jax.random.normal(jax.random.key(9), (n_docs, dvec), jnp.bfloat16)
     dmat = dmat / jnp.linalg.norm(dmat.astype(jnp.float32), axis=1, keepdims=True).astype(jnp.bfloat16)
     dense_index = DenseIndex(matrix=dmat)
