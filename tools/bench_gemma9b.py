@@ -28,7 +28,16 @@ from bench_pipeline import CharTokenizer  # noqa: E402
 
 def make_gemma_params_int8(cfg, key, start_layer: int, layer_sep: int = 1):
     """Random int8-leaf Gemma params (layout of hf_loader.quantize_linear_
-    int8 + gemma norms + per-layer heads), generated on device."""
+    int8 + gemma norms + per-layer heads), generated on device in ONE
+    dispatch (per-leaf dispatches each pay the tunnel round trip)."""
+    import jax
+
+    return jax.jit(_gemma_tree_int8, static_argnums=(0, 2, 3))(
+        cfg, key, start_layer, layer_sep
+    )
+
+
+def _gemma_tree_int8(cfg, key, start_layer: int, layer_sep: int):
     import jax
     import jax.numpy as jnp
 

@@ -118,7 +118,15 @@ def build_corpus_on_disk(root: str, n_docs: int, rng) -> None:
 def make_embedder_params_int8(cfg, key):
     """Random int8 weight-only 7B params generated directly on device — the
     exact leaf layout ``hf_loader.quantize_linear_int8`` produces, without
-    ever materializing the 14 GB bf16 tree."""
+    ever materializing the 14 GB bf16 tree. ONE jitted dispatch for the
+    whole tree: per-leaf dispatches each pay the tunnel round trip (~200
+    of them took >10 min under load)."""
+    import jax
+
+    return jax.jit(_embedder_tree_int8, static_argnums=0)(cfg, key)
+
+
+def _embedder_tree_int8(cfg, key):
     import jax
     import jax.numpy as jnp
 
@@ -240,7 +248,9 @@ def build_system(tiny: bool = False, docs: int = 20_000, with_embedder: bool = T
         dtype=jnp.bfloat16,
         **rr_arch,
     )
-    rr_params = init_params(rr_cfg, jax.random.key(0))
+    # one dispatch for the whole tree (per-leaf dispatches pay the tunnel
+    # round trip each; init_params is fully traceable)
+    rr_params = jax.jit(init_params, static_argnums=0)(rr_cfg, jax.random.key(0))
     rr_params["heads"] = {
         layer: jax.random.normal(jax.random.fold_in(jax.random.key(2), layer),
                                  (1, rr_cfg.hidden_size), jnp.float32) * 0.02
