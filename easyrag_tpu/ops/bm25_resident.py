@@ -121,9 +121,18 @@ def _resident_score_topk_impl(
             interpret=tail == "pallas_interpret",
         )
     else:
-        b_idx3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, TL, C))
-        scores = scores.at[b_idx3.reshape(B, -1), docs.reshape(B, -1)].add(
-            vals.reshape(B, -1), mode="drop"
+        # flat-index scatter into the raveled scores alias: folding the
+        # batch dim into the index runs at 6.8 ns/slot vs 10.2 for the
+        # batched 2-D scatter (measured r3, tools/exp_scatter.py at the
+        # operating shape); sentinel slots (doc == N) route to the OOB
+        # index B*N and drop
+        b_off = (jnp.arange(B, dtype=jnp.int32) * N)[:, None, None]
+        flat_idx = jnp.where(docs < N, b_off + docs, B * N)
+        scores = (
+            scores.reshape(B * N)
+            .at[flat_idx.reshape(-1)]
+            .add(vals.reshape(-1), mode="drop")
+            .reshape(B, N)
         )
 
     if dir_col is not None and dir_filter is not None:

@@ -564,12 +564,17 @@ class ShardedResidentSparseIndex:
                 docs_g = pdocs[pos]  # sentinel -> num_docs, val 0.0
                 vals_g = pvals[pos] * lt_cnts[:, :, None]
             docs_local = docs_g - lo
-            docs_local = jnp.where(
-                (docs_local >= 0) & (docs_local < shard_size), docs_local, shard_size
-            )
-            b3 = jnp.broadcast_to(jnp.arange(B)[:, None, None], (B, TL, C))
-            scores = scores.at[b3.reshape(B, -1), docs_local.reshape(B, -1)].add(
-                vals_g.reshape(B, -1), mode="drop"
+            in_shard = (docs_local >= 0) & (docs_local < shard_size)
+            # flat-index scatter into the raveled scores alias (6.8 vs
+            # 10.2 ns/slot for the batched 2-D form — r3 exp_scatter.py);
+            # out-of-shard/sentinel slots route OOB and drop
+            b_off = (jnp.arange(B, dtype=jnp.int32) * shard_size)[:, None, None]
+            flat_idx = jnp.where(in_shard, b_off + docs_local, B * shard_size)
+            scores = (
+                scores.reshape(B * shard_size)
+                .at[flat_idx.reshape(-1)]
+                .add(vals_g.reshape(-1), mode="drop")
+                .reshape(B, shard_size)
             )
 
             local_ids = lo + jax.lax.broadcasted_iota(jnp.int32, (1, shard_size), 1)
@@ -730,20 +735,19 @@ class ShardedSparseScorer:
 
         def shard_fn(ids_rep, vals_rep):
             lo = jax.lax.axis_index("data") * shard_size
-            local = ids_rep - lo  # out-of-range -> dropped by scatter
-            def scatter_one(ids_1d, vals_1d):
-                z = jnp.zeros((shard_size,), jnp.float32)
-                return z.at[local_clip(ids_1d)].add(
-                    jnp.where(in_range(ids_1d), vals_1d, 0.0), mode="drop"
-                )
-
-            def in_range(ids_1d):
-                return (ids_1d >= 0) & (ids_1d < shard_size)
-
-            def local_clip(ids_1d):
-                return jnp.where(in_range(ids_1d), ids_1d, shard_size)
-
-            scores = jax.vmap(scatter_one)(local, vals_rep)  # [B, shard]
+            local = ids_rep - lo
+            B = ids_rep.shape[0]
+            # flat-index scatter (see _score_topk_impl): out-of-range slots
+            # route to the OOB index and drop
+            in_range = (local >= 0) & (local < shard_size)
+            b_off = (jnp.arange(B, dtype=jnp.int32) * shard_size)[:, None]
+            flat_idx = jnp.where(in_range, b_off + local, B * shard_size)
+            scores = (
+                jnp.zeros((B * shard_size,), jnp.float32)
+                .at[flat_idx.reshape(-1)]
+                .add(vals_rep.reshape(-1), mode="drop")
+                .reshape(B, shard_size)
+            )
             local_ids = lo + jax.lax.broadcasted_iota(jnp.int32, (1, shard_size), 1)
             scores = jnp.where(local_ids < num_docs, scores, NEG_INF)
             scores = jnp.where(scores > 0, scores, NEG_INF)

@@ -15,8 +15,12 @@ formulations measured here on the bench operating shape:
                    record at the CURRENT operating shape)
 4. segsum:         flatten (b, doc) -> one segment_sum over B*N bins
 
+Measurement: each formulation runs as a lax.scan over K independent slot
+sets in ONE dispatch (the ~30 ms tunnel dispatch floor would swamp a
+single [B, P] scatter); ns/slot uses K*B*P slots against (t - t_rtt).
+
 Run: python tools/exp_scatter.py [--b 64] [--n 20000] [--tl 4] [--c 64]
-     [--fill 0.3] [--iters 5]
+     [--fill 0.3] [--k 64] [--iters 3]
 """
 
 import argparse
@@ -37,7 +41,8 @@ def main():
     ap.add_argument("--c", type=int, default=64, help="postings window")
     ap.add_argument("--fill", type=float, default=0.3,
                     help="fraction of real (non-sentinel) slots")
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--k", type=int, default=64, help="scan slices per dispatch")
+    ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -47,38 +52,59 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    B, N = args.b, args.n
+    B, N, K = args.b, args.n, args.k
     P = args.tl * args.c
     rng = np.random.default_rng(0)
 
     # gathered light-tail shape: per (term, window) mostly-sorted doc ids,
     # sentinel slots (doc=N, val=0) where the window exceeds the postings
-    docs_np = np.full((B, P), N, np.int32)
-    vals_np = np.zeros((B, P), np.float32)
-    for b in range(B):
-        for t in range(args.tl):
-            ln = int(args.c * min(1.0, rng.exponential(args.fill)))
-            d = np.sort(rng.choice(N, size=ln, replace=False)).astype(np.int32)
-            docs_np[b, t * args.c : t * args.c + ln] = d
-            vals_np[b, t * args.c : t * args.c + ln] = rng.random(ln) + 0.5
+    docs_np = np.full((K, B, P), N, np.int32)
+    vals_np = np.zeros((K, B, P), np.float32)
+    for kk in range(K):
+        for b in range(B):
+            for t in range(args.tl):
+                ln = int(args.c * min(1.0, rng.exponential(args.fill)))
+                d = np.sort(rng.choice(N, size=ln, replace=False)).astype(np.int32)
+                docs_np[kk, b, t * args.c : t * args.c + ln] = d
+                vals_np[kk, b, t * args.c : t * args.c + ln] = rng.random(ln) + 0.5
     real = (docs_np < N).mean()
     docs, vals = jnp.asarray(docs_np), jnp.asarray(vals_np)
 
-    def bench(name, fn, *a):
+    # dispatch floor
+    @jax.jit
+    def nop(d):
+        return d[0, 0, 0]
+
+    float(nop(vals))
+    t_rtt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(nop(vals))
+        t_rtt = min(t_rtt, time.perf_counter() - t0)
+
+    def bench(name, fn):
+        @jax.jit
+        def run(docs, vals):
+            def step(acc, dv):
+                out = fn(*dv)
+                return acc + out.sum(), None
+
+            acc, _ = jax.lax.scan(step, jnp.float32(0), (docs, vals))
+            return acc
+
         try:
-            out = fn(*a)
-            ref = np.asarray(out)
+            ref = np.asarray(jax.jit(fn)(docs[0], vals[0]))
+            float(run(docs, vals))
         except Exception as e:
             print(f"{name:16s} FAILED: {type(e).__name__}: {str(e)[:160]}")
             return None, None
         best = float("inf")
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            out = fn(*a)
-            float(out.ravel()[:1].sum())  # chained readback barrier
+            float(run(docs, vals))
             best = min(best, time.perf_counter() - t0)
-        ns_slot = best / (B * P) * 1e9
-        print(f"{name:16s} {best*1000:7.3f} ms  {ns_slot:6.2f} ns/slot")
+        ns_slot = (best - t_rtt) / (K * B * P) * 1e9
+        print(f"{name:16s} {best*1000:8.3f} ms  {ns_slot:6.2f} ns/slot")
         return best, ref
 
     @jax.jit
@@ -109,12 +135,30 @@ def main():
 
         return bm25_scores_pallas(docs, vals, num_docs=N, interpret=args.cpu)
 
-    print(f"B={B} P={P} N={N} real-slot fill {real*100:.0f}%")
-    t1, ref = bench("scatter", scatter, docs, vals)
-    _, r2 = bench("scatter_sorted", scatter_sorted, docs, vals)
-    _, r3 = bench("segsum", segsum, docs, vals)
-    _, r4 = bench("onehot_pallas", jax.jit(onehot_pallas), docs, vals)
-    for name, r in (("scatter_sorted", r2), ("segsum", r3), ("onehot_pallas", r4)):
+    @jax.jit
+    def scatter_flat(docs, vals):
+        # segsum's win without its extra buffer: flatten the batch dim into
+        # the scatter index and update the RAVELED scores alias; sentinel
+        # rows route to the OOB index B*N and drop
+        z = jnp.zeros((B, N), jnp.float32)
+        b_off = (jnp.arange(B, dtype=jnp.int32)[:, None] * N)
+        flat_idx = jnp.where(docs < N, b_off + docs, B * N)
+        return (
+            z.reshape(B * N)
+            .at[flat_idx.reshape(-1)]
+            .add(vals.reshape(-1), mode="drop")
+            .reshape(B, N)
+        )
+
+    print(f"B={B} P={P} N={N} K={K} real-slot fill {real*100:.0f}%; "
+          f"rtt {t_rtt*1000:.1f} ms")
+    t1, ref = bench("scatter", scatter)
+    _, r2 = bench("scatter_sorted", scatter_sorted)
+    _, r3 = bench("segsum", segsum)
+    _, r4 = bench("onehot_pallas", onehot_pallas)
+    _, r5 = bench("scatter_flat", scatter_flat)
+    for name, r in (("scatter_sorted", r2), ("segsum", r3),
+                    ("onehot_pallas", r4), ("scatter_flat", r5)):
         if r is not None:
             ok = np.allclose(r, ref, atol=1e-4)
             if not ok:
