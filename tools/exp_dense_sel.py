@@ -105,14 +105,59 @@ def main():
         # skip the take_along_axis gather + final sort; consume ci + cmax
         return ci.sum().astype(jnp.float32) + cmax.sum()
 
+    def f_sorted_chunks(x):
+        # exact alternative to the two-key candidate sort: order the
+        # SELECTED CHUNKS ascending by index (288-int sort, tiny), gather in
+        # that order -> candidate position is monotone in global index ->
+        # the flip+top_k trick applies (ties -> lowest flipped position =
+        # highest global index), no 2304-wide two-key sort
+        s = matmul(x)
+        sc = s.reshape(B, NC, CH)
+        cmax = sc.max(-1)
+        _, rev = jax.lax.top_k(jnp.flip(cmax, -1), K)
+        ci = jnp.sort((NC - 1) - rev, axis=-1)  # ascending chunk index
+        gathered = jnp.take_along_axis(sc, ci[..., None], axis=-2)
+        flat = gathered.reshape(B, K * CH)
+        gidx = ((ci * CH)[..., None] + jnp.arange(CH, dtype=jnp.int32)).reshape(B, K * CH)
+        vals, rpos = jax.lax.top_k(jnp.flip(flat, -1), K)
+        pos = (K * CH - 1) - rpos
+        ti = jnp.take_along_axis(gidx, pos, axis=-1)
+        return ti.sum().astype(jnp.float32) + vals.sum()
+
     t_a = bench("a matmul only", a_matmul)
     t_b = bench("b +chunkmax", b_chunkmax)
     t_c = bench("c +chunk topk", c_chunksel)
     t_e = bench("e +gatherless prune", e_nogather)
     t_d = bench("d full pruned topk (prod)", d_full)
+    t_f = bench("f sorted-chunks flip+topk", f_sorted_chunks)
     print(f"\nmarginals per 4096q: chunkmax {1000*(t_b-t_a):.1f} ms, "
           f"chunk-topk {1000*(t_c-t_b):.1f} ms, "
-          f"gather+sort {1000*(t_d-t_e):.1f} ms, total sel {1000*(t_d-t_a):.1f} ms")
+          f"gather+sort {1000*(t_d-t_e):.1f} ms, total sel {1000*(t_d-t_a):.1f} ms; "
+          f"f-variant total sel {1000*(t_f-t_a):.1f} ms")
+
+    # exactness of f vs the production path on one batch
+    from easyrag_tpu.ops.topk import _chunkmax_pruned_topk
+
+    x0 = q[0]
+    s0 = jax.jit(matmul)(x0)
+    tv_ref, ti_ref = jax.jit(lambda s: _chunkmax_pruned_topk(s, K))(s0)
+
+    @jax.jit
+    def f_vals(s):
+        sc = s.reshape(B, NC, CH)
+        cmax = sc.max(-1)
+        _, rev = jax.lax.top_k(jnp.flip(cmax, -1), K)
+        ci = jnp.sort((NC - 1) - rev, axis=-1)
+        gathered = jnp.take_along_axis(sc, ci[..., None], axis=-2)
+        flat = gathered.reshape(B, K * CH)
+        gidx = ((ci * CH)[..., None] + jnp.arange(CH, dtype=jnp.int32)).reshape(B, K * CH)
+        vals, rpos = jax.lax.top_k(jnp.flip(flat, -1), K)
+        pos = (K * CH - 1) - rpos
+        return vals, jnp.take_along_axis(gidx, pos, axis=-1)
+
+    tv_f, ti_f = f_vals(s0)
+    print("f exact (vals):", bool(np.array_equal(np.asarray(tv_f), np.asarray(tv_ref))),
+          " (idx):", bool(np.array_equal(np.asarray(ti_f), np.asarray(ti_ref))))
 
 
 if __name__ == "__main__":
