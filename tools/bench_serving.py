@@ -42,7 +42,12 @@ async def drive(app, n_requests: int, concurrency: int, queries):
     latencies = []
     sem = asyncio.Semaphore(concurrency)
 
-    async with ClientSession() as session:
+    # first requests ride cold remote compiles (minutes on a congested
+    # attachment) and queue behind the one chip; never let the client
+    # timeout shape the measurement
+    from aiohttp import ClientTimeout
+
+    async with ClientSession(timeout=ClientTimeout(total=3600)) as session:
 
         async def one(i):
             async with sem:
