@@ -41,47 +41,71 @@ def _resident_score_topk_impl(
     term_ids, counts, dir_filter, heavy_scales=None,
     *, k: int, num_docs: int, light_cap: int, P: int, tail: str = "xla",
     light: str = "csr", light_t: Optional[int] = None,
+    heavy_form: str = "auto",
 ):
     B, T = term_ids.shape
     N, C = num_docs, light_cap
     H = heavy.shape[0]
 
-    # heavy part: one-hot-with-counts [B, H] @ heavy [H, N] on the MXU
+    # heavy part. Two equivalent forms, chosen statically by bytes read:
+    # the one-hot matmul re-streams the whole [H, N] matrix every batch,
+    # while a row gather reads only the B*T rows the batch references —
+    # measured 1.7x at H=3072 and H-independent (r3, tools/
+    # exp_sparse_heavy.py), so it wins whenever B*T < H (the production
+    # operating point: B=64, T<=16, H in the thousands).
     hrow = t_heavy_row[term_ids]  # [B, T], -1 for light/pad
-    hrow_or_drop = jnp.where(hrow >= 0, hrow, H)
-    A = jnp.zeros((B, H), jnp.float32)
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
-    A = A.at[b_idx, hrow_or_drop].add(
-        jnp.where(hrow >= 0, counts, 0.0), mode="drop"
-    )
-    dims = (((1,), (0,)), ((), ()))
-    if heavy.dtype == jnp.int8:
-        # s8 x s8 -> s32 natively on the MXU. Query-term counts are small
-        # integers, exact in s8 (clipped defensively); the per-DOC-COLUMN
-        # scale factors out of the contraction over terms and is applied
-        # once to the s32 result.
-        scores = jax.lax.dot_general(
-            jnp.clip(A, 0, 127).astype(jnp.int8),
-            heavy,
-            dimension_numbers=dims,
-            preferred_element_type=jnp.int32,
-        ).astype(jnp.float32) * heavy_scales[None, :]
-    elif heavy.dtype == jnp.bfloat16:
-        # counts <= 127 are exact in bf16; only the stored postings round
-        scores = jax.lax.dot_general(
-            A.astype(jnp.bfloat16),
-            heavy,
-            dimension_numbers=dims,
-            preferred_element_type=jnp.float32,
-        )
+    use_gather = B * T < H if heavy_form == "auto" else heavy_form == "gather"
+    if use_gather:
+        rr = jnp.where(hrow >= 0, hrow, 0)
+        w = jnp.where(hrow >= 0, counts, 0.0)  # [B, T] f32
+        g = heavy[rr]  # [B, T, N]
+        if heavy.dtype == jnp.int8:
+            # per-DOC-COLUMN scale factors out of the term sum
+            scores = jnp.einsum(
+                "bt,btn->bn", w, g.astype(jnp.float32)
+            ) * heavy_scales[None, :]
+        else:
+            # bf16 rows widen to f32 before the (<=T-term) accumulation —
+            # same f32 rounding class as the matmul contraction
+            scores = jnp.einsum(
+                "bt,btn->bn", w, g.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
     else:
-        scores = jax.lax.dot_general(
-            A,
-            heavy,
-            dimension_numbers=dims,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,  # keep f32 exact on the MXU
-        )  # [B, N]
+        hrow_or_drop = jnp.where(hrow >= 0, hrow, H)
+        A = jnp.zeros((B, H), jnp.float32)
+        b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+        A = A.at[b_idx, hrow_or_drop].add(
+            jnp.where(hrow >= 0, counts, 0.0), mode="drop"
+        )
+        dims = (((1,), (0,)), ((), ()))
+        if heavy.dtype == jnp.int8:
+            # s8 x s8 -> s32 natively on the MXU. Query-term counts are small
+            # integers, exact in s8 (clipped defensively); the per-DOC-COLUMN
+            # scale factors out of the contraction over terms and is applied
+            # once to the s32 result.
+            scores = jax.lax.dot_general(
+                jnp.clip(A, 0, 127).astype(jnp.int8),
+                heavy,
+                dimension_numbers=dims,
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * heavy_scales[None, :]
+        elif heavy.dtype == jnp.bfloat16:
+            # counts <= 127 are exact in bf16; only the stored postings round
+            scores = jax.lax.dot_general(
+                A.astype(jnp.bfloat16),
+                heavy,
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            scores = jax.lax.dot_general(
+                A,
+                heavy,
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,  # keep f32 exact on the MXU
+            )  # [B, N]
 
     # light part: bounded gather of each term's postings + scatter-add.
     # ``light_t`` bounds how many LEADING term slots can hold light terms
@@ -152,6 +176,7 @@ _resident_score_topk = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "num_docs", "light_cap", "P", "tail", "light", "light_t",
+        "heavy_form",
     ),
 )(_resident_score_topk_impl)
 
@@ -160,6 +185,7 @@ _resident_score_topk = functools.partial(
     jax.jit,
     static_argnames=(
         "k", "num_docs", "light_cap", "P", "tail", "light", "light_t",
+        "heavy_form",
     ),
 )
 def _resident_score_topk_stream(
@@ -167,6 +193,7 @@ def _resident_score_topk_stream(
     term_ids, counts, dir_filter, heavy_scales=None,
     *, k: int, num_docs: int, light_cap: int, P: int, tail: str = "xla",
     light: str = "csr", light_t: Optional[int] = None,
+    heavy_form: str = "auto",
 ):
     """Score a whole query STREAM in one compiled dispatch.
 
@@ -188,7 +215,7 @@ def _resident_score_topk_stream(
             heavy, t_heavy_row, t_starts, t_light_lens, post_docs, post_vals,
             dir_col, ids, cnts, dirf, heavy_scales,
             k=k, num_docs=num_docs, light_cap=light_cap, P=P, tail=tail,
-            light=light, light_t=light_t,
+            light=light, light_t=light_t, heavy_form=heavy_form,
         )
         return 0, (tv, ti)
 

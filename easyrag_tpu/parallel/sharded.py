@@ -518,32 +518,50 @@ class ShardedResidentSparseIndex:
             scales_local = rest.pop(0)[0] if is_int8 else None
 
             hrow = heavy_row[tids]  # noqa — replicated lookup table
-            hrow_or_drop = jnp.where(hrow >= 0, hrow, H)
-            A = jnp.zeros((B, H), jnp.float32)
-            b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
-            A = A.at[b_idx, hrow_or_drop].add(
-                jnp.where(hrow >= 0, cnts, 0.0), mode="drop"
-            )
-            dims = (((1,), (0,)), ((), ()))
-            if is_int8:
-                # s8 x s8 -> s32, per-doc-column rescale: the single-chip
-                # int8 contract (ops/bm25_resident.py)
-                scores = jax.lax.dot_general(
-                    jnp.clip(A, 0, 127).astype(jnp.int8), heavy,
-                    dimension_numbers=dims,
-                    preferred_element_type=jnp.int32,
-                ).astype(jnp.float32) * scales_local[None, :]
-            elif heavy.dtype == jnp.bfloat16:
-                scores = jax.lax.dot_general(
-                    A.astype(jnp.bfloat16), heavy, dimension_numbers=dims,
-                    preferred_element_type=jnp.float32,
-                )
+            if B * T < H:
+                # row gather + einsum: reads only the B*T referenced rows of
+                # the per-shard heavy slice instead of re-streaming all H
+                # rows per batch (1.7x at H=3072, H-independent — r3,
+                # tools/exp_sparse_heavy.py; same f32 rounding class)
+                rr = jnp.where(hrow >= 0, hrow, 0)
+                w = jnp.where(hrow >= 0, cnts, 0.0)
+                g = heavy[rr]  # [B, T, shard]
+                if is_int8:
+                    scores = jnp.einsum(
+                        "bt,btn->bn", w, g.astype(jnp.float32)
+                    ) * scales_local[None, :]
+                else:
+                    scores = jnp.einsum(
+                        "bt,btn->bn", w, g.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
             else:
-                scores = jax.lax.dot_general(
-                    A, heavy, dimension_numbers=dims,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [B, shard]
+                hrow_or_drop = jnp.where(hrow >= 0, hrow, H)
+                A = jnp.zeros((B, H), jnp.float32)
+                b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+                A = A.at[b_idx, hrow_or_drop].add(
+                    jnp.where(hrow >= 0, cnts, 0.0), mode="drop"
+                )
+                dims = (((1,), (0,)), ((), ()))
+                if is_int8:
+                    # s8 x s8 -> s32, per-doc-column rescale: the single-chip
+                    # int8 contract (ops/bm25_resident.py)
+                    scores = jax.lax.dot_general(
+                        jnp.clip(A, 0, 127).astype(jnp.int8), heavy,
+                        dimension_numbers=dims,
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32) * scales_local[None, :]
+                elif heavy.dtype == jnp.bfloat16:
+                    scores = jax.lax.dot_general(
+                        A.astype(jnp.bfloat16), heavy, dimension_numbers=dims,
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    scores = jax.lax.dot_general(
+                        A, heavy, dimension_numbers=dims,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [B, shard]
 
             # light part, sliced to the light-term prefix (host prep
             # orders light terms first; light_t_bound covers any order)

@@ -328,3 +328,37 @@ def test_light_prefix_slicing(mixed):
     rv, ri = res._score_topk(hids, hcnt, 9, None, light_t=None)
     np.testing.assert_array_equal(np.asarray(hv), np.asarray(rv))
     np.testing.assert_array_equal(np.asarray(hi), np.asarray(ri))
+
+
+def test_heavy_gather_matmul_forms_agree(setup):
+    """The two statically-chosen heavy forms (row gather+einsum vs one-hot
+    MXU matmul — ops/bm25_resident.py, r3) must agree to f32 rounding on
+    scores and exactly on membership/ordering for non-tied scores."""
+    import jax.numpy as jnp
+
+    from easyrag_tpu.ops.bm25_resident import _resident_score_topk
+
+    _, index, resident, _ = setup
+    queries = [["w0", "w1", "w2", "w3"], ["w5", "w5", "w9"], ["w2"]]
+    ids, cnts = resident.query_terms_batch(queries)
+    out = {}
+    for form in ("gather", "matmul"):
+        tv, ti = _resident_score_topk(
+            resident.heavy, resident.t_heavy_row, resident.t_starts,
+            resident.t_light_lens, resident.post_docs, resident.post_vals,
+            None, jnp.asarray(ids), jnp.asarray(cnts), None,
+            resident.heavy_scales,
+            k=12, num_docs=resident.num_docs, light_cap=resident.light_cap,
+            P=resident.P, tail=resident.tail, light=resident.light_layout,
+            heavy_form=form,
+        )
+        out[form] = (np.asarray(tv), np.asarray(ti))
+    gv, gi = out["gather"]
+    mv, mi = out["matmul"]
+    np.testing.assert_allclose(gv, mv, rtol=1e-6, atol=1e-6)
+    # identical ordering wherever scores are not near-ties
+    gaps = np.abs(np.diff(mv, axis=1))
+    stable = np.ones_like(mi, bool)
+    stable[:, :-1] &= gaps > 1e-5
+    stable[:, 1:] &= gaps > 1e-5
+    np.testing.assert_array_equal(gi[stable], mi[stable])
