@@ -27,6 +27,20 @@ from .corpus.views import get_node_content
 from .schema import NodeWithScore, QueryBundle
 from .utils.events import emit
 
+#: smallest compiled tail-batch shape. Tail batches pad to the smallest
+#: halving of ``embed_bs`` >= this that fits, instead of the full batch:
+#: a 198-pair fused set at bs 32 runs 6x32 + 1x8 rather than 7x32 — ~10%
+#: of the rerank compute back for two extra compile-cache entries.
+TAIL_BUCKET_MIN = 8
+
+
+def tail_bucket(n_real: int, bsz: int, min_bucket: int = TAIL_BUCKET_MIN) -> int:
+    """Smallest halving of ``bsz`` (>= ``min_bucket``) holding ``n_real``."""
+    b = bsz
+    while b // 2 >= max(n_real, min_bucket):
+        b //= 2
+    return b
+
 
 class LLMRerank:
     def __init__(
@@ -81,12 +95,13 @@ class LLMRerank:
             judge = self.use_efficient != 0 and (
                 lo == 0 or self.use_efficient == 2
             )
-            # pad tail batches to the full batch size (duplicate last pair,
-            # scores sliced off) so every batch hits the same compiled shape.
-            # Judge batches stay unpadded: the early-exit criterion softmaxes
-            # over the batch's scores and duplicates would perturb it.
+            # pad tail batches to a bounded compile bucket (duplicate last
+            # pair, scores sliced off) so batches hit a small set of
+            # compiled shapes. Judge batches stay unpadded: the early-exit
+            # criterion softmaxes over the batch's scores and duplicates
+            # would perturb it.
             if n_real < bsz and not judge:
-                pairs = pairs + [pairs[-1]] * (bsz - n_real)
+                pairs = pairs + [pairs[-1]] * (tail_bucket(n_real, bsz) - n_real)
             emit(
                 "reranking",
                 {"batch": lo // bsz, "pairs": n_real, "judge": judge},

@@ -33,6 +33,8 @@ import threading
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
+from ..rerankers import tail_bucket
+
 
 class _Request:
     __slots__ = ("pairs", "cutoff", "event", "scores", "layer", "error")
@@ -156,8 +158,11 @@ class CoalescingScorer:
                             chunk = flat[lo : lo + self.max_batch]
                             n_real = len(chunk)
                             if n_real < self.max_batch:
+                                # tail pads to a halving bucket, not the
+                                # full batch (rerankers.tail_bucket)
                                 chunk = chunk + [chunk[-1]] * (
-                                    self.max_batch - n_real
+                                    tail_bucket(n_real, self.max_batch)
+                                    - n_real
                                 )
                             scores, _ = self.scorer.score_pairs(chunk, judge=False)
                             all_scores.extend(np.asarray(scores)[:n_real])

@@ -264,3 +264,18 @@ def test_api_concurrent_full_rag_shares_reranker_dispatches(tmp_path):
     legacy_dispatches = 4 * -(-per_request // 4)
     assert len(fake.calls) < legacy_dispatches, (fake.calls, per_request)
     pipeline.reranker.scorer.close()
+
+
+def test_coalesced_tail_chunk_pads_to_bucket():
+    """The coalescer's tail chunk pads to the halving bucket (rerankers.
+    tail_bucket), not max_batch: 38 fused pairs at max_batch=32 dispatch
+    as 32 + 8."""
+    fake = FakeScorer()
+    proxy = CoalescingScorer(fake, max_batch=32, window_ms=20)
+    reranker = LLMRerank(proxy, top_n=100, embed_bs=32, embed_type=0)
+    out = reranker.postprocess_nodes(_nodes("a", 38), QueryBundle(query_str="q"))
+    proxy.close()
+    assert len(out) == 38
+    assert [(n, j) for n, j, _ in fake.calls] == [(32, False), (8, False)]
+    # telemetry records REAL pair counts (38 total)
+    assert sum(proxy.dispatch_sizes) == 38

@@ -321,3 +321,48 @@ def test_llm_rerank_wrapper_semantics():
     assert out[0].node.metadata["retrieval_score"] == 5.0
     # cutoff restored after the query
     assert scorer.cutoff_layer == 28
+
+
+def test_tail_bucket_policy():
+    from easyrag_tpu.rerankers import tail_bucket
+
+    # halvings of bsz, floored at 8: the fused-256 operating point
+    # (198 = 6x32 + 6) runs its tail at 8, not 32
+    assert tail_bucket(6, 32) == 8
+    assert tail_bucket(8, 32) == 8
+    assert tail_bucket(9, 32) == 16
+    assert tail_bucket(16, 32) == 16
+    assert tail_bucket(17, 32) == 32
+    assert tail_bucket(32, 32) == 32
+    # never exceeds bsz; small bsz (< floor) unchanged
+    assert tail_bucket(1, 8) == 8
+    assert tail_bucket(1, 4) == 4
+    assert tail_bucket(3, 2) == 2
+
+
+def test_llm_rerank_tail_pads_to_bucket_not_full_batch():
+    """A 38-pair fused set at embed_bs=32 scores as 32 + 8 (tail bucket),
+    not 32 + 32 — identical scores, ~10% of the padded compute back."""
+    from easyrag_tpu.rerankers import LLMRerank
+    from easyrag_tpu.schema import NodeWithScore, QueryBundle, TextNode
+
+    class FakeScorer:
+        cutoff_layer = 28
+
+        def __init__(self):
+            self.calls = []
+
+        def score_pairs(self, pairs, judge=False):
+            self.calls.append((len(pairs), judge))
+            return np.array([len(p) for _, p in pairs], dtype=np.float32), 12
+
+    scorer = FakeScorer()
+    rr = LLMRerank(scorer, top_n=38, embed_bs=32, embed_type=0)
+    nodes = [
+        NodeWithScore(node=TextNode(text="x" * (i + 1)), score=0.0)
+        for i in range(38)
+    ]
+    out = rr.postprocess_nodes(nodes, QueryBundle(query_str="q"))
+    assert scorer.calls == [(32, False), (8, False)]
+    # scores are the real pairs' (pad slots sliced off), ordering intact
+    assert [len(n.node.text) for n in out] == list(range(38, 0, -1))
