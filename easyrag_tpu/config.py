@@ -35,8 +35,13 @@ class TPUConfig:
     query_batch: int = 32
     # embedder weight storage: "" keeps bf16; "int8" stores the matmul
     # weights int8 with per-channel scales (4x f32 / 2x bf16 HBM headroom —
-    # the 7B-embedder-next-to-a-large-index case, SURVEY §7 hard part #4)
+    # the 7B-embedder-next-to-a-large-index case, SURVEY §7 hard part #4);
+    # "w8a8" additionally quantizes activations per-token at run time so
+    # the s8 x s8 contraction runs at the MXU's 2x int8 rate (small
+    # rounding error — opt-in, see layers._linear)
     embedder_quant: str = ""
+    # reranker quantization: "" (bf16) | "int8" | "w8a8" (same contract)
+    reranker_quant: str = ""
     # resident sparse heavy-matrix storage: float32 (exact, default) |
     # bfloat16 (2x HBM headroom) | int8 (4x, per-doc-column scales)
     sparse_heavy_dtype: str = "float32"

@@ -115,8 +115,8 @@ def load_decoder_params(
     precision-critical). Quantization happens tensor-by-tensor during the
     stream, so peak host memory stays one shard + one tensor.
     """
-    if quant not in ("", "int8"):
-        raise ValueError(f"quant must be '' or 'int8', got {quant!r}")
+    if quant not in ("", "int8", "w8a8"):
+        raise ValueError(f"quant must be '', 'int8' or 'w8a8', got {quant!r}")
     layers: list = [
         {"attn": {}, "mlp": {}} for _ in range(num_layers)
     ]
@@ -128,9 +128,9 @@ def load_decoder_params(
         return jnp.asarray(tensor).astype(dtype)
 
     def put_linear(tensor: np.ndarray) -> Dict[str, Any]:
-        if quant == "int8":
-            return quantize_linear_int8(tensor)
-        return {"w": put(tensor)}
+        if quant in ("int8", "w8a8"):  # w8a8 stores the same int8 weights;
+            return quantize_linear_int8(tensor)  # activations quantize at
+        return {"w": put(tensor)}  # run time (layers.DecoderConfig.act_quant)
 
     for raw_name, tensor in _iter_safetensors(model_dir):
         name = _strip_prefix(raw_name)
@@ -223,20 +223,29 @@ def load_qwen2_embedder(model_dir: str, dtype=jnp.bfloat16, quant: str = ""):
 
     hf = load_hf_config(model_dir)
     cfg = qwen2_config_from_hf(hf, dtype=dtype)
+    if quant == "w8a8":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, act_quant=True)
     params = load_decoder_params(
         model_dir, cfg.num_hidden_layers, dtype=dtype, quant=quant
     )
     return cfg, params
 
 
-def load_minicpm_reranker(model_dir: str, dtype=jnp.bfloat16):
+def load_minicpm_reranker(model_dir: str, dtype=jnp.bfloat16, quant: str = ""):
     """bge-reranker-v2-minicpm-layerwise checkpoint -> (cfg, params, start)."""
     from .minicpm import minicpm_config_from_hf
 
     hf = load_hf_config(model_dir)
     cfg = minicpm_config_from_hf(hf, dtype=dtype)
+    if quant == "w8a8":
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, act_quant=True)
     start_layer = hf.get("start_layer", 8)
     params = load_decoder_params(
-        model_dir, cfg.num_hidden_layers, start_layer=start_layer, dtype=dtype
+        model_dir, cfg.num_hidden_layers, start_layer=start_layer, dtype=dtype,
+        quant=quant,
     )
     return cfg, params, start_layer

@@ -77,6 +77,7 @@ def load_reranker(
     embed_type: int = 0,
     use_efficient: int = 0,
     use_st: bool = False,
+    quant: str = "",
 ):
     """Reranker by name (``rerankers.py:142-184`` dispatch)."""
     from ..rerankers import LLMRerank, SentenceTransformerRerank
@@ -92,7 +93,7 @@ def load_reranker(
         from .hf_loader import load_minicpm_reranker
         from .minicpm import MiniCPMLayerWiseReranker
 
-        cfg, params, start_layer = load_minicpm_reranker(model_dir)
+        cfg, params, start_layer = load_minicpm_reranker(model_dir, quant=quant)
         # tuned 512-block flash attention (head_dim 64) — ~1.9x per layer
         if jax.default_backend() != "cpu" and cfg.hd % 64 == 0:
             cfg = dataclasses.replace(cfg, use_flash=True)

@@ -299,6 +299,7 @@ class EasyRAGPipeline:
                 embed_type=cfg.r_embed_type,
                 use_efficient=cfg.r_use_efficient,
                 use_st=(cfg.use_reranker == 1),
+                quant=cfg.tpu.reranker_quant,
             )
 
         # local LLM

@@ -50,14 +50,39 @@ def main():
 
     base_params = init_params(cfg_for(False), jax.random.key(0))
 
-    def bench(name, cfg, S):
+    @jax.jit
+    def quantize_tree(params):
+        """Per-output-channel int8 of every linear, ON DEVICE in one
+        dispatch (hf_loader.quantize_linear_int8 semantics)."""
+        def q(p):
+            w = p["w"].astype(jnp.float32)
+            s = jnp.max(jnp.abs(w), axis=1) / 127.0
+            s = jnp.where(s == 0.0, 1.0, s)
+            return {"w_q": jnp.round(w / s[:, None]).astype(jnp.int8),
+                    "scale": s}
+
+        out = dict(params)
+        out["layers"] = [
+            {
+                **layer,
+                "attn": {k: q(v) for k, v in layer["attn"].items()},
+                "mlp": {k: q(v) for k, v in layer["mlp"].items()},
+            }
+            for layer in params["layers"]
+        ]
+        return out
+
+    int8_params = quantize_tree(base_params)
+
+    def bench(name, cfg, S, params=None):
+        params = base_params if params is None else params
         hidden = jax.random.normal(jax.random.key(1), (B, S, 2304), jnp.bfloat16)
         mask = np.ones((B, S), np.int32)
         mask[:, : S - real_len] = 0
         mask = jnp.asarray(mask)
 
         def run():
-            h = _segment(cfg, base_params, hidden, mask, 0, L)
+            h = _segment(cfg, params, hidden, mask, 0, L)
             return float(h.astype(jnp.float32).sum())  # checksum barrier
 
         run()  # compile
@@ -80,6 +105,18 @@ def main():
     results["einsum S=1152"] = bench("einsum S=1152", cfg_for(False), 1152)
     results["flash S=1536 b512 (r1 config)"] = bench(
         "flash S=1536 blocks(512,512)", cfg_for(True, (512, 512)), 1536)
+    # w8a8: int8 weights + dynamic per-token activation quant — the s8 x s8
+    # projections run at the MXU's double int8 rate; flash attention stays
+    # bf16 (projections are ~95% of the FLOPs at this shape). MFU is
+    # reported against the bf16 peak for comparability.
+    import dataclasses as _dc
+
+    results["flash64 S=1064 w8a8"] = bench(
+        "flash64 S=1064 w8a8 (s8 x s8 projections)",
+        _dc.replace(cfg_for(True), act_quant=True), 1064, int8_params)
+    results["flash64 S=1064 int8 weight-only"] = bench(
+        "flash64 S=1064 int8 weight-only (bandwidth only)",
+        cfg_for(True), 1064, int8_params)
 
     best = min(results.values())
     print(f"\nbest: {best*1000:.0f} ms/batch "
