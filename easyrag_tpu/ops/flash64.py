@@ -159,6 +159,40 @@ def _kernel(
             o_ref[0, pl.ds(offs[iq], bq_i), lanes] = o.astype(o_ref.dtype)
 
 
+def _block_plan(S: int, HP: int, block_q: int) -> tuple:
+    """(head pairs per program, q block) within the VMEM budget.
+
+    Head-pair grouping amortizes per-program setup (576 -> 192 programs at
+    the operating shape, measured 6.69 -> 6.26 ms/op) while keeping VMEM
+    within the 16 MB budget. Accounting: q/k/v/o row buffers are
+    DOUBLE-buffered by the pipeline (8 x S x 128g x 2B), plus 2 rope
+    scratch rows, cos/sin f32, and ~2 live [bq, S] f32 softmax tiles.
+    Long sequences / oversized caller block_q can exhaust the budget for
+    every grouping — shrink the q block until some (pairs, block_q) fits
+    rather than raising (r3: S=1536 at block_q 512 had no fit at 512).
+    """
+
+    def vmem_bytes(g, bq):
+        rows = 8 * S * 128 * g * 2
+        scratch = 2 * S * 128 * g * 2
+        tables = 2 * S * 128 * 4 * 2
+        softmax = 3 * bq * S * 4  # s/e/probs live tiles (measured edge)
+        return rows + scratch + tables + softmax
+
+    while True:
+        pairs = next(
+            (g for g in (3, 2, 1)
+             if HP % g == 0 and vmem_bytes(g, block_q) <= 14 * 2**20),
+            None,
+        )
+        if pairs is not None or block_q <= 8:
+            break
+        block_q = max(8, block_q // 2)
+    if pairs is None:
+        pairs = 1  # minimal config; Mosaic gets the final say on VMEM
+    return pairs, block_q
+
+
 def flash64_attention(
     q: jnp.ndarray,  # [B, S, H*64], H even
     k: jnp.ndarray,  # [B, S, H*64]
@@ -188,27 +222,12 @@ def flash64_attention(
     HP = F // 128
     if block_q is None:
         block_q = 384 if S >= 384 else S  # measured optimum at the op shape
+    pairs, block_q = _block_plan(S, HP, block_q)
     # static block plan; the last block may be ragged so the model can run
     # at the reference's exact pad-to-x8 length (S=1064) instead of a 128
     # bucket — 8% of the whole model's dense FLOPs at the operating shape.
     n_full, rem = divmod(S, block_q)
     sizes = tuple([block_q] * n_full + ([rem] if rem else []))
-    # head pairs per program: amortizes per-program setup (576 -> 192
-    # programs at the operating shape, measured 6.69 -> 6.26 ms/op) while
-    # keeping VMEM within the 16 MB budget. Accounting: q/k/v/o row buffers
-    # are DOUBLE-buffered by the pipeline (8 x S x 128g x 2B), plus 2 rope
-    # scratch rows, cos/sin f32, and ~2 live [bq, S] f32 softmax tiles.
-    def vmem_bytes(g):
-        rows = 8 * S * 128 * g * 2
-        scratch = 2 * S * 128 * g * 2
-        tables = 2 * S * 128 * 4 * 2
-        softmax = 3 * block_q * S * 4  # s/e/probs live tiles (measured edge)
-        return rows + scratch + tables + softmax
-
-    pairs = next(
-        g for g in (3, 2, 1)
-        if HP % g == 0 and vmem_bytes(g) <= 14 * 2**20
-    )
     lanes = 128 * pairs
     first_real = (S - mask.sum(axis=1)).astype(jnp.int32)  # [B]
 

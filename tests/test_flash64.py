@@ -80,3 +80,22 @@ def test_flash64_kernel_direct_left_pad_and_causal():
     np.testing.assert_allclose(
         np.asarray(got)[m], np.asarray(ref)[m], rtol=2e-4, atol=2e-4
     )
+
+
+def test_block_plan_shrinks_instead_of_raising():
+    """S=1536 at caller block_q 512 has no VMEM fit at any head-pair
+    grouping; the plan must shrink the q block, not raise (r3 regression:
+    StopIteration from the grouping search)."""
+    from easyrag_tpu.ops.flash64 import _block_plan
+
+    pairs, bq = _block_plan(1536, 18, 512)
+    assert pairs in (1, 2, 3) and bq < 512 and 1536 % 8 == 0
+    # the returned plan fits the budget it enforces
+    rows = 8 * 1536 * 128 * pairs * 2
+    scratch = 2 * 1536 * 128 * pairs * 2
+    tables = 2 * 1536 * 128 * 4 * 2
+    softmax = 3 * bq * 1536 * 4
+    assert rows + scratch + tables + softmax <= 14 * 2**20
+    # the operating shape keeps its measured config untouched (pairs=2
+    # fits the 14 MB budget at S=1064/bq=384; 3 would need 15.2 MB)
+    assert _block_plan(1064, 18, 384) == (2, 384)
