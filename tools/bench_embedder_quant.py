@@ -111,7 +111,16 @@ def main():
         h = forward_hidden(cfg, p, ids, mask)
         return h.astype(jnp.float32).sum()
 
-    def bench(name, p):
+    import dataclasses
+
+    cfg_a8 = dataclasses.replace(cfg, act_quant=True)
+
+    @jax.jit
+    def run_a8(p, ids, mask):
+        h = forward_hidden(cfg_a8, p, ids, mask)
+        return h.astype(jnp.float32).sum()
+
+    def bench(name, p, run=run):
         float(run(p, ids, mask))  # compile
         best = float("inf")
         for _ in range(args.iters):
@@ -129,7 +138,11 @@ def main():
     t_bf16 = bench("bf16", params)
     qparams = quantize_on_device(params)
     t_int8 = bench("int8 weight-only", qparams)
-    print(f"int8/bf16 time ratio: {t_int8/t_bf16:.2f}")
+    # w8a8: same int8 weights, activations dynamic-quantized per token so
+    # projections contract s8 x s8 at the MXU's double int8 rate
+    t_a8 = bench("w8a8", qparams, run=run_a8)
+    print(f"int8/bf16 time ratio: {t_int8/t_bf16:.2f}  "
+          f"w8a8/bf16: {t_a8/t_bf16:.2f}")
 
 
 if __name__ == "__main__":

@@ -92,6 +92,9 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tool smoke test)")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="dynamic per-token activation int8 (layers."
+                         "DecoderConfig.act_quant) — weights are already s8")
     args = ap.parse_args()
 
     import jax
@@ -122,7 +125,9 @@ def main():
         # (the 40 point sits above the cutoff and is skipped, as in the
         # reference where only layers < cutoff run)
         cutoff, comp_layers, start_layer = 28, (24, 40), 8
-    cfg = DecoderConfig(gemma=True, dtype=jnp.bfloat16, **arch)
+    cfg = DecoderConfig(
+        gemma=True, dtype=jnp.bfloat16, act_quant=args.w8a8, **arch
+    )
 
     params = make_gemma_params_int8(cfg, jax.random.key(0), start_layer)
     nbytes = sum(x.nbytes for x in jax.tree.leaves(params))

@@ -204,10 +204,17 @@ def hbm_stats(tag: str):
     return used
 
 
-def build_system(tiny: bool = False, docs: int = 20_000, with_embedder: bool = True):
+def build_system(
+    tiny: bool = False, docs: int = 20_000, with_embedder: bool = True,
+    rr_quant: str = "",
+):
     """Boot the full co-resident system (corpus -> real pipeline + reranker
     at true scale + int8 7B embedder + dense index). Returns a namespace
-    shared by this benchmark and ``tools/bench_serving.py``."""
+    shared by this benchmark and ``tools/bench_serving.py``.
+
+    ``rr_quant="w8a8"`` boots the reranker with int8 weights + dynamic
+    activation quant (``layers.DecoderConfig.act_quant``) — the 2x-MXU-rate
+    opt-in; also halves the reranker's HBM (5.1 -> ~2.8 GiB)."""
     from types import SimpleNamespace
 
     import jax
@@ -251,6 +258,25 @@ def build_system(tiny: bool = False, docs: int = 20_000, with_embedder: bool = T
     # one dispatch for the whole tree (per-leaf dispatches pay the tunnel
     # round trip each; init_params is fully traceable)
     rr_params = jax.jit(init_params, static_argnums=0)(rr_cfg, jax.random.key(0))
+    if rr_quant == "w8a8":
+        import dataclasses
+        import functools
+
+        rr_cfg = dataclasses.replace(rr_cfg, act_quant=True)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def q8(w):
+            wf = w.astype(jnp.float32)
+            s = jnp.where(jnp.abs(wf).max(axis=1) == 0, 1.0,
+                          jnp.abs(wf).max(axis=1)) / 127.0
+            return (jnp.round(wf / s[:, None]).astype(jnp.int8), s)
+
+        for layer in rr_params["layers"]:
+            for group in ("attn", "mlp"):
+                for name in list(layer[group]):
+                    wq, s = q8(layer[group][name].pop("w"))
+                    layer[group][name] = {"w_q": wq, "scale": s,
+                                          **layer[group][name]}
     rr_params["heads"] = {
         layer: jax.random.normal(jax.random.fold_in(jax.random.key(2), layer),
                                  (1, rr_cfg.hidden_size), jnp.float32) * 0.02
@@ -354,13 +380,19 @@ def main():
                     help="skip the early-exit p50 variants")
     ap.add_argument("--tiny", action="store_true",
                     help="toy scale: smoke-tests the tool itself (CPU-safe)")
+    ap.add_argument("--reranker-quant", default="", choices=["", "w8a8"],
+                    help="boot the reranker w8a8 (s8 x s8 projections)")
+    ap.add_argument("--embedder-w8a8", action="store_true",
+                    help="run the (already int8-weight) embedder with "
+                         "dynamic activation quant in the dense route")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     ns = build_system(tiny=args.tiny, docs=args.docs,
-                      with_embedder=not args.skip_embedder)
+                      with_embedder=not args.skip_embedder,
+                      rr_quant=args.reranker_quant)
     pipeline, scorer, reranker = ns.pipeline, ns.scorer, ns.reranker
     dense_index, n_nodes, used = ns.dense_index, ns.n_nodes, ns.hbm_used
     em_cfg, embed_params = ns.em_cfg, ns.embed_params
@@ -431,6 +463,10 @@ def main():
     if embed_params is not None:
         from easyrag_tpu.models.layers import forward_hidden
 
+        if args.embedder_w8a8:
+            import dataclasses
+
+            em_cfg = dataclasses.replace(em_cfg, act_quant=True)
         B, S = 32, 64  # short-query bucket: queries are ~a dozen terms
 
         @jax.jit
