@@ -202,7 +202,12 @@ def bench_pipeline_budgeted():
     try:
         proc = subprocess.run(
             [sys.executable, "tools/bench_pipeline.py", "--queries", "3",
-             "--retrieval-queries", "256"],
+             "--retrieval-queries", "256",
+             # production-recommended quant config (tpu.reranker_quant /
+             # tpu.embedder_quant="w8a8"): s8xs8 projections, 2x MXU rate;
+             # rank stability pinned in tests/test_w8a8.py, bf16 numbers
+             # recorded alongside in BASELINE.md
+             "--reranker-quant", "w8a8", "--embedder-w8a8"],
             capture_output=True, text=True, timeout=PIPELINE_BUDGET_S,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )

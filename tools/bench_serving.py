@@ -80,11 +80,14 @@ def main():
     ap.add_argument("--exit", dest="use_exit", action="store_true",
                     help="early exit on (judge-batch worst case)")
     ap.add_argument("--no-coalesce", action="store_true")
+    ap.add_argument("--reranker-quant", default="", choices=["", "w8a8"],
+                    help="boot the reranker w8a8 (s8 x s8 projections)")
     args = ap.parse_args()
 
     from easyrag_tpu.serving.api import create_app
 
-    ns = build_system(tiny=args.tiny, docs=args.docs, with_embedder=False)
+    ns = build_system(tiny=args.tiny, docs=args.docs, with_embedder=False,
+                      rr_quant=args.reranker_quant)
     queries = [make_query(ns) for _ in range(max(args.requests, 8))]
 
     if args.use_exit:
