@@ -98,6 +98,34 @@ def quantize_linear_int8(tensor: np.ndarray) -> Dict[str, Any]:
     }
 
 
+def quantize_decoder_tree(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize every attn/mlp linear in an in-memory layers.py pytree.
+
+    The streaming loader quantizes at load time; this covers params that
+    already live in memory (tests, dryruns, init_params trees). Embeddings,
+    norms, and biases pass through untouched.
+    """
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        q: Dict[str, Any] = {}
+        for key, val in layer.items():
+            if key in ("attn", "mlp"):
+                q[key] = {
+                    name: {
+                        **quantize_linear_int8(np.asarray(p["w"], np.float32)),
+                        **({"b": p["b"]} if "b" in p else {}),
+                    }
+                    if "w" in p
+                    else p
+                    for name, p in val.items()
+                }
+            else:
+                q[key] = val
+        out["layers"].append(q)
+    return out
+
+
 def load_decoder_params(
     model_dir: str,
     num_layers: int,

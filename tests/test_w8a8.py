@@ -50,25 +50,7 @@ def test_w8a8_zero_token_row_is_safe():
     assert np.all(np.isfinite(y)) and np.all(y == 0.0)
 
 
-def _quantize_tree(params):
-    """Replace every {"w": ...} linear in the layers tree with int8."""
-    out = dict(params)
-    out["layers"] = []
-    for layer in params["layers"]:
-        q = {}
-        for k, v in layer.items():
-            if k in ("attn", "mlp"):
-                q[k] = {
-                    name: (
-                        {**quantize_linear_int8(np.asarray(p["w"], np.float32)),
-                         **({"b": p["b"]} if "b" in p else {})}
-                    )
-                    for name, p in v.items()
-                }
-            else:
-                q[k] = v
-        out["layers"].append(q)
-    return out
+from easyrag_tpu.models.hf_loader import quantize_decoder_tree as _quantize_tree  # noqa: E402
 
 
 def test_w8a8_forward_close_and_rank_stable():
@@ -106,3 +88,35 @@ def test_loader_accepts_w8a8_and_sets_act_quant(tmp_path):
 
     with pytest.raises(ValueError):
         load_decoder_params(str(tmp_path), 1, quant="int4")
+
+
+def test_w8a8_tp_matches_unsharded():
+    """w8a8 under tensor parallelism: the per-token amax in row-parallel
+    projections (o/down) spans the sharded feature axis, so GSPMD must
+    lower it as a cross-shard reduce — activations quantize with the
+    GLOBAL scale, never a shard-local one. Parity vs single-device pins
+    that contract."""
+    from easyrag_tpu.parallel.mesh import data_model_mesh
+    from easyrag_tpu.parallel.tp import shard_decoder_params
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        dtype=jnp.float32, act_quant=True,
+    )
+    params = _quantize_tree(init_params(cfg, jax.random.key(0)))
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(0, 64, size=(3, 12)), jnp.int32)
+    mask = jnp.ones((3, 12), jnp.int32)
+    ref = np.asarray(forward_hidden(cfg, params, ids, mask))
+
+    mesh = data_model_mesh(8, model_parallel=2)
+    sharded = shard_decoder_params(mesh, cfg, params, axis="model")
+    with mesh:
+        got = np.asarray(forward_hidden(cfg, sharded, ids, mask))
+    # int8 contractions are integer-exact and s32 partial sums are
+    # associative, so TP may only reorder the f32 rescale/residual math
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
