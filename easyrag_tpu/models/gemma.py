@@ -240,18 +240,22 @@ class GemmaCostWiseReranker:
         return np.asarray(scores), self.cutoff_layer
 
 
-def load_gemma_reranker(model_dir: str):
+def load_gemma_reranker(model_dir: str, quant: str = ""):
+    import dataclasses
+
     from transformers import AutoTokenizer
 
     from .hf_loader import load_decoder_params, load_hf_config
 
     hf = load_hf_config(model_dir)
     cfg = gemma_config_from_hf(hf)
+    if quant == "w8a8":
+        cfg = dataclasses.replace(cfg, act_quant=True)
     start_layer = hf.get("start_layer", 8)
     layer_sep = hf.get("layer_sep", 1)
     params = load_decoder_params(
         model_dir, cfg.num_hidden_layers, start_layer=start_layer, gemma=True,
-        head_layer_sep=layer_sep,
+        head_layer_sep=layer_sep, quant=quant,
     )
     tok = AutoTokenizer.from_pretrained(model_dir, trust_remote_code=True)
     tok.padding_side = "right"

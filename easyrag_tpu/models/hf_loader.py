@@ -98,6 +98,22 @@ def quantize_linear_int8(tensor: np.ndarray) -> Dict[str, Any]:
     }
 
 
+def quantize_linear_int8_device(w: jnp.ndarray) -> Dict[str, Any]:
+    """Jittable device-side twin of :func:`quantize_linear_int8`.
+
+    Same conventions (per-output-channel symmetric scales, zero rows get
+    scale 1.0, clip to ±127) so benches that generate params on device —
+    uploading gigabytes through a slow attachment is not an option — apply
+    exactly the production quantization semantics. Parity is pinned in
+    ``tests/test_w8a8.py``.
+    """
+    wf = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(wf), axis=1) / 127.0
+    scale = jnp.where(scale == 0.0, 1.0, scale)
+    w_q = jnp.clip(jnp.rint(wf / scale[:, None]), -127, 127).astype(jnp.int8)
+    return {"w_q": w_q, "scale": scale}
+
+
 def quantize_decoder_tree(params: Dict[str, Any]) -> Dict[str, Any]:
     """Quantize every attn/mlp linear in an in-memory layers.py pytree.
 

@@ -112,14 +112,14 @@ def load_reranker(
     if "bge-reranker-v2.5-gemma2-lightweight" in name:
         from .gemma import load_gemma_reranker
 
-        scorer = load_gemma_reranker(model_dir)
+        scorer = load_gemma_reranker(model_dir, quant=quant)
         return LLMRerank(
             scorer, top_n=top_n, embed_bs=embed_bs, embed_type=embed_type,
             use_efficient=0,
         )
     from .yes_logit import YesLogitScorer
 
-    scorer = YesLogitScorer.from_pretrained(model_dir)
+    scorer = YesLogitScorer.from_pretrained(model_dir, quant=quant)
     return LLMRerank(
         scorer, top_n=top_n, embed_bs=embed_bs, embed_type=embed_type,
         use_efficient=0,

@@ -56,7 +56,9 @@ class YesLogitScorer:
         )
 
     @classmethod
-    def from_pretrained(cls, model_dir: str) -> "YesLogitScorer":
+    def from_pretrained(cls, model_dir: str, quant: str = "") -> "YesLogitScorer":
+        import dataclasses
+
         from transformers import AutoTokenizer
 
         from .hf_loader import load_decoder_params, load_hf_config
@@ -64,7 +66,9 @@ class YesLogitScorer:
 
         hf = load_hf_config(model_dir)
         cfg = qwen2_config_from_hf(hf)
-        params = load_decoder_params(model_dir, cfg.num_hidden_layers)
+        if quant == "w8a8":
+            cfg = dataclasses.replace(cfg, act_quant=True)
+        params = load_decoder_params(model_dir, cfg.num_hidden_layers, quant=quant)
         tok = AutoTokenizer.from_pretrained(model_dir, trust_remote_code=True)
         return cls(cfg, params, tok)
 

@@ -187,7 +187,9 @@ def _block_plan(S: int, HP: int, block_q: int) -> tuple:
         )
         if pairs is not None or block_q <= 8:
             break
-        block_q = max(8, block_q // 2)
+        # halve within multiples of 8: block sizes and the ragged-remainder
+        # offsets must stay sublane-aligned (kernel contract below)
+        block_q = max(8, (block_q // 2) // 8 * 8)
     if pairs is None:
         pairs = 1  # minimal config; Mosaic gets the final say on VMEM
     return pairs, block_q

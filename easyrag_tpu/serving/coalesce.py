@@ -16,9 +16,11 @@ Semantics preserved:
 * ``cutoff_layer`` is a per-thread view — each request's discovered exit
   layer applies only to its own remaining pairs, and dispatches are grouped
   by cutoff (different depths are different compiled programs anyway);
-* tail chunks are padded to ``max_batch`` by duplicating the last pair
-  (scores sliced off), so every dispatch hits the same compiled shape —
-  the same policy ``LLMRerank`` uses per-request.
+* tail chunks are padded by duplicating the last pair (scores sliced
+  off) — to a halving bucket (``rerankers.tail_bucket``) once that
+  bucket's program is warm, and to the always-warm ``max_batch`` shape
+  before then; cold bucket shapes compile off the latency path, in
+  queue-idle time on the dispatcher thread.
 
 The pipeline runs its rerank stage in a worker thread when
 ``pipeline.rerank_in_thread`` is set (the serving layer sets it), so
@@ -69,6 +71,11 @@ class CoalescingScorer:
         # telemetry: batch sizes of recent real dispatches (tests +
         # observability); bounded so a long-running server doesn't leak
         self.dispatch_sizes: collections.deque = collections.deque(maxlen=4096)
+        # tail-bucket shapes ((bsz, seq, cutoff)) whose compiled program is
+        # known warm, plus warms deferred to queue-idle time — a new XLA
+        # compile must never land on a request's latency path
+        self._warm_shapes: set = set()
+        self._pending_warms: List[Tuple[tuple, List[Tuple[str, str]]]] = []
 
     # -- per-thread cutoff view ------------------------------------------------
 
@@ -134,6 +141,7 @@ class CoalescingScorer:
                 batch, self._queue = self._queue, []
             if batch:
                 self._run_batch(batch)
+            self._drain_warms()
 
     def _run_batch(self, batch: List[_Request]) -> None:
         import numpy as np
@@ -159,11 +167,24 @@ class CoalescingScorer:
                             n_real = len(chunk)
                             if n_real < self.max_batch:
                                 # tail pads to a halving bucket, not the
-                                # full batch (rerankers.tail_bucket)
-                                chunk = chunk + [chunk[-1]] * (
-                                    tail_bucket(n_real, self.max_batch)
-                                    - n_real
-                                )
+                                # full batch (rerankers.tail_bucket) — but
+                                # only into a shape whose program is warm.
+                                # A cold bucket shape dispatches at the
+                                # always-warm full batch instead and is
+                                # compiled later, off the latency path
+                                # (_drain_warms): an XLA compile is seconds
+                                # on TPU and would land inside a waiting
+                                # request otherwise.
+                                bucket = tail_bucket(n_real, self.max_batch)
+                                padded = chunk + [chunk[-1]] * (bucket - n_real)
+                                key = self._shape_key(padded, cutoff)
+                                if key is None or key in self._warm_shapes:
+                                    chunk = padded
+                                else:
+                                    chunk = chunk + [chunk[-1]] * (
+                                        self.max_batch - n_real
+                                    )
+                                    self._pending_warms.append((key, padded))
                             scores, _ = self.scorer.score_pairs(chunk, judge=False)
                             all_scores.extend(np.asarray(scores)[:n_real])
                             self.dispatch_sizes.append(n_real)
@@ -178,3 +199,44 @@ class CoalescingScorer:
                 if not req.event.is_set():
                     req.error = e
                     req.event.set()
+
+    def _shape_key(self, padded_chunk, cutoff: int):
+        """Compiled-program signature for a padded chunk: (bsz, seq, cutoff).
+
+        Uses the scorer's own tokenization so the key matches what XLA will
+        actually see (seq depends on the scorer's compile buckets). Scorers
+        without ``build_inputs`` (tests, non-model scorers) return None —
+        treated as always-warm, i.e. bucketing applies unconditionally.
+        """
+        build = getattr(self.scorer, "build_inputs", None)
+        if build is None:
+            return None
+        ids, _ = build(padded_chunk)
+        return (ids.shape[0], ids.shape[1], cutoff)
+
+    def _drain_warms(self) -> None:
+        """Compile deferred tail-bucket shapes while no request is waiting.
+
+        Runs on the dispatcher thread between windows; re-checks queue
+        emptiness before each warm so arriving requests preempt it. A warm
+        is one real (dummy-content) dispatch at the bucket shape; failures
+        drop the warm rather than poisoning serving.
+        """
+        while self._pending_warms:
+            with self._cond:
+                if self._queue or self._closed:
+                    return
+            key, padded = self._pending_warms.pop(0)
+            if key in self._warm_shapes:
+                continue
+            try:
+                with self._device_lock:
+                    saved = self.scorer.cutoff_layer
+                    self.scorer.cutoff_layer = key[2]
+                    try:
+                        self.scorer.score_pairs(padded, judge=False)
+                    finally:
+                        self.scorer.cutoff_layer = saved
+                self._warm_shapes.add(key)
+            except BaseException:  # noqa: BLE001 — warms are best-effort
+                return

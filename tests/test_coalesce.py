@@ -10,6 +10,7 @@ errors fan out, and a live API with concurrent requests shares dispatches.
 import asyncio
 import json
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -279,3 +280,37 @@ def test_coalesced_tail_chunk_pads_to_bucket():
     assert [(n, j) for n, j, _ in fake.calls] == [(32, False), (8, False)]
     # telemetry records REAL pair counts (38 total)
     assert sum(proxy.dispatch_sizes) == 38
+
+
+def test_cold_tail_bucket_never_compiles_on_the_latency_path():
+    """A tail whose bucket shape has no warm compiled program dispatches at
+    the always-warm max_batch; the bucket shape is warmed in queue-idle
+    time and subsequent tails use it (coalesce._shape_key/_drain_warms)."""
+
+    class TokenizingScorer(FakeScorer):
+        # exposing build_inputs opts the scorer into shape-keyed warming
+        def build_inputs(self, pairs):
+            ids = np.zeros((len(pairs), 16), np.int32)
+            return ids, np.ones_like(ids)
+
+    fake = TokenizingScorer()
+    proxy = CoalescingScorer(fake, max_batch=32, window_ms=5)
+    reranker = LLMRerank(proxy, top_n=100, embed_bs=32, embed_type=0)
+
+    out = reranker.postprocess_nodes(_nodes("a", 38), QueryBundle(query_str="q"))
+    assert len(out) == 38
+    # cold path: 32 + tail padded to the FULL batch (bucket 8 not warm yet)
+    assert [n for n, j, _ in fake.calls[:2]] == [32, 32]
+    # the deferred warm runs off the latency path: one 8-pair dummy dispatch
+    deadline = time.time() + 5
+    while len(fake.calls) < 3 and time.time() < deadline:
+        time.sleep(0.01)
+    assert [n for n, j, _ in fake.calls] == [32, 32, 8], fake.calls
+
+    # warm path: the same tail shape now dispatches at the bucket
+    out = reranker.postprocess_nodes(_nodes("b", 38), QueryBundle(query_str="q"))
+    assert len(out) == 38
+    proxy.close()
+    assert [n for n, j, _ in fake.calls] == [32, 32, 8, 32, 8], fake.calls
+    # telemetry records REAL pair counts throughout
+    assert sum(proxy.dispatch_sizes) == 38 * 2

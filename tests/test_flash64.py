@@ -89,7 +89,14 @@ def test_block_plan_shrinks_instead_of_raising():
     from easyrag_tpu.ops.flash64 import _block_plan
 
     pairs, bq = _block_plan(1536, 18, 512)
-    assert pairs in (1, 2, 3) and bq < 512 and 1536 % 8 == 0
+    assert pairs in (1, 2, 3) and bq < 512 and bq % 8 == 0
+    # deep-shrink case: S=3072 halves past 48 where naive halving would
+    # produce 24 -> 12 (not x8); the plan must keep every block sublane-
+    # aligned, since S % 8 == 0 only yields x8 ragged remainders if
+    # block_q itself is x8
+    for s in (3040, 3072):
+        p2, bq2 = _block_plan(s, 18, 384)
+        assert p2 >= 1 and bq2 % 8 == 0, (s, p2, bq2)
     # the returned plan fits the budget it enforces
     rows = 8 * 1536 * 128 * pairs * 2
     scratch = 2 * 1536 * 128 * pairs * 2

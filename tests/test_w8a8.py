@@ -120,3 +120,24 @@ def test_w8a8_tp_matches_unsharded():
     # int8 contractions are integer-exact and s32 partial sums are
     # associative, so TP may only reorder the f32 rescale/residual math
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_device_quantizer_matches_host():
+    """quantize_linear_int8_device (jittable, used by on-device benches)
+    must produce bit-identical w_q/scale to the production numpy loader
+    path — including the zero-row scale-1.0 convention."""
+    from easyrag_tpu.models.hf_loader import quantize_linear_int8_device
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(16, 24)).astype(np.float32)
+    w[5] = 0.0  # zero output row
+    host = quantize_linear_int8(w)
+    dev = jax.jit(quantize_linear_int8_device)(jnp.asarray(w))
+    # XLA lowers /127 as a reciprocal multiply: scales match to 1 ulp and
+    # the resulting int codes may differ by at most one step (none here)
+    dq, hq = np.asarray(dev["w_q"], np.int32), np.asarray(host["w_q"], np.int32)
+    assert np.abs(dq - hq).max() <= 1
+    assert (dq != hq).mean() < 0.01
+    np.testing.assert_allclose(np.asarray(dev["scale"]), np.asarray(host["scale"]),
+                               rtol=1e-6)
+    assert np.asarray(dev["scale"])[5] == 1.0  # zero-row convention shared

@@ -73,3 +73,19 @@ def test_registry_missing_path_raises():
         load_embedder("Alibaba-NLP/gte-Qwen2-7B-instruct")
     with pytest.raises(FileNotFoundError, match="no network egress"):
         load_reranker("BAAI/bge-reranker-v2-minicpm-layerwise")
+
+
+def test_w8a8_load_sets_act_quant_and_int8_weights(gte_checkpoint):
+    """quant="w8a8" must flip cfg.act_quant AND store int8 matmul weights —
+    dropping either silently reverts to a slower path (the registry's
+    reranker branches all plumb quant through; this pins the loader end)."""
+    from easyrag_tpu.models.hf_loader import load_qwen2_embedder
+
+    path, _, _ = gte_checkpoint
+    cfg, params = load_qwen2_embedder(path, quant="w8a8")
+    assert cfg.act_quant is True
+    q = params["layers"][0]["attn"]["q"]
+    assert "w_q" in q and q["w_q"].dtype == np.int8
+
+    cfg0, _ = load_qwen2_embedder(path, quant="int8")
+    assert cfg0.act_quant is False  # weight-only: bf16 activations

@@ -260,23 +260,21 @@ def build_system(
     rr_params = jax.jit(init_params, static_argnums=0)(rr_cfg, jax.random.key(0))
     if rr_quant == "w8a8":
         import dataclasses
-        import functools
 
         rr_cfg = dataclasses.replace(rr_cfg, act_quant=True)
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def q8(w):
-            wf = w.astype(jnp.float32)
-            s = jnp.where(jnp.abs(wf).max(axis=1) == 0, 1.0,
-                          jnp.abs(wf).max(axis=1)) / 127.0
-            return (jnp.round(wf / s[:, None]).astype(jnp.int8), s)
+        from easyrag_tpu.models.hf_loader import quantize_linear_int8_device
 
+        # production quant semantics, on device (donate frees the bf16 copy)
+        q8 = jax.jit(quantize_linear_int8_device, donate_argnums=0)
         for layer in rr_params["layers"]:
             for group in ("attn", "mlp"):
                 for name in list(layer[group]):
-                    wq, s = q8(layer[group][name].pop("w"))
-                    layer[group][name] = {"w_q": wq, "scale": s,
-                                          **layer[group][name]}
+                    rest = dict(layer[group][name])
+                    rest.pop("w")
+                    layer[group][name] = {
+                        **q8(layer[group][name]["w"]), **rest,
+                    }
     rr_params["heads"] = {
         layer: jax.random.normal(jax.random.fold_in(jax.random.key(2), layer),
                                  (1, rr_cfg.hidden_size), jnp.float32) * 0.02

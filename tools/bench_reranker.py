@@ -50,16 +50,14 @@ def main():
 
     base_params = init_params(cfg_for(False), jax.random.key(0))
 
+    from easyrag_tpu.models.hf_loader import quantize_linear_int8_device as _q8
+
     @jax.jit
     def quantize_tree(params):
-        """Per-output-channel int8 of every linear, ON DEVICE in one
-        dispatch (hf_loader.quantize_linear_int8 semantics)."""
+        """Production int8 semantics of every linear, ON DEVICE in one
+        dispatch (hf_loader.quantize_linear_int8_device)."""
         def q(p):
-            w = p["w"].astype(jnp.float32)
-            s = jnp.max(jnp.abs(w), axis=1) / 127.0
-            s = jnp.where(s == 0.0, 1.0, s)
-            return {"w_q": jnp.round(w / s[:, None]).astype(jnp.int8),
-                    "scale": s}
+            return _q8(p["w"])
 
         out = dict(params)
         out["layers"] = [
