@@ -42,6 +42,11 @@ class TPUConfig:
     embedder_quant: str = ""
     # reranker quantization: "" (bf16) | "int8" | "w8a8" (same contract)
     reranker_quant: str = ""
+    # survivors re-scored at full depth when r_use_efficient=3 (cascade):
+    # stage 1 scores every pair at the judge layer, stage 2 only the top
+    # cascade_keep — must be >= r_topk; larger values trade speed for a
+    # smaller chance the judge layer hides a true top-r_topk pair
+    cascade_keep: int = 32
     # resident sparse heavy-matrix storage: float32 (exact, default) |
     # bfloat16 (2x HBM headroom) | int8 (4x, per-doc-column scales)
     sparse_heavy_dtype: str = "float32"
@@ -88,7 +93,9 @@ class EasyRAGConfig:
     reranker_name: str = "BAAI/bge-reranker-v2-minicpm-layerwise"
     use_reranker: int = 2  # 0 none | 1 cross-encoder | 2 layerwise LLM reranker
     r_embed_bs: int = 32
-    r_use_efficient: int = 0  # 0 off | 1 max-prob early exit | 2 entropy early exit
+    # 0 off | 1 max-prob early exit | 2 entropy early exit |
+    # 3 two-stage cascade (TPU extension, see rerankers.py + tpu.cascade_keep)
+    r_use_efficient: int = 0
 
     # -- generation (easyrag.yaml:31-37) --
     llm_keys: List[str] = field(default_factory=list)

@@ -78,6 +78,7 @@ def load_reranker(
     use_efficient: int = 0,
     use_st: bool = False,
     quant: str = "",
+    cascade_keep: int = 32,
 ):
     """Reranker by name (``rerankers.py:142-184`` dispatch)."""
     from ..rerankers import LLMRerank, SentenceTransformerRerank
@@ -107,7 +108,7 @@ def load_reranker(
         )
         return LLMRerank(
             scorer, top_n=top_n, embed_bs=embed_bs, embed_type=embed_type,
-            use_efficient=use_efficient,
+            use_efficient=use_efficient, cascade_keep=cascade_keep,
         )
     if "bge-reranker-v2.5-gemma2-lightweight" in name:
         from .gemma import load_gemma_reranker
@@ -115,11 +116,14 @@ def load_reranker(
         scorer = load_gemma_reranker(model_dir, quant=quant)
         return LLMRerank(
             scorer, top_n=top_n, embed_bs=embed_bs, embed_type=embed_type,
-            use_efficient=0,
+            use_efficient=use_efficient if use_efficient == 3 else 0,
+            cascade_keep=cascade_keep,
         )
     from .yes_logit import YesLogitScorer
 
     scorer = YesLogitScorer.from_pretrained(model_dir, quant=quant)
+    # no cascade here: YesLogitScorer always runs the full stack (its
+    # cutoff_layer is informational), so stage 1 would cost full depth
     return LLMRerank(
         scorer, top_n=top_n, embed_bs=embed_bs, embed_type=embed_type,
         use_efficient=0,

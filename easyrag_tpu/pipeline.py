@@ -300,6 +300,7 @@ class EasyRAGPipeline:
                 use_efficient=cfg.r_use_efficient,
                 use_st=(cfg.use_reranker == 1),
                 quant=cfg.tpu.reranker_quant,
+                cascade_keep=cfg.tpu.cascade_keep,
             )
 
         # local LLM

@@ -9,6 +9,14 @@ of ``embed_bs``, replicating ``src/easyrag/custom/rerankers.py:298-376``:
   ``use_efficient=1`` the discovered layer is reused for remaining batches
   (``rerankers.py:311-314,343-345``); with ``use_efficient=2`` every batch
   judges independently
+* ``use_efficient=3`` is a TPU-native extension with no reference
+  counterpart: a two-stage cascade that scores EVERY pair at the judge
+  layer (the shallow score head the layerwise checkpoint already trains)
+  and re-scores only the top ``cascade_keep`` at full depth — ~(j/cutoff
+  + keep/n) of the full-depth work with full-depth ordering of the
+  survivors. Opt-in: the final top-``top_n`` can differ from full-depth
+  reranking iff a true top-n pair ranks below ``cascade_keep`` at the
+  judge layer (tune ``tpu.cascade_keep``; validate on real weights)
 * the retrieval score is preserved in ``metadata["retrieval_score"]``
 * final ordering: ``sorted(key=-score if score else 0)[:top_n]``
   (``rerankers.py:371-373``; note falsy scores sort as 0, replicated)
@@ -51,6 +59,7 @@ class LLMRerank:
         embed_type: int = 0,
         use_efficient: int = 0,
         keep_retrieval_score: bool = True,
+        cascade_keep: int = 32,
     ) -> None:
         self.scorer = scorer
         self.top_n = top_n
@@ -58,6 +67,7 @@ class LLMRerank:
         self.embed_type = embed_type
         self.use_efficient = use_efficient
         self.keep_retrieval_score = keep_retrieval_score
+        self.cascade_keep = cascade_keep
 
     def postprocess_nodes(
         self,
@@ -72,6 +82,17 @@ class LLMRerank:
         n = len(nodes)
         bsz = self.embed_bs
         saved_cutoff = getattr(self.scorer, "cutoff_layer", None)
+        if self.use_efficient == 3:
+            scores = self._score_cascade(nodes, query)
+            for node, score in zip(nodes, scores):
+                if self.keep_retrieval_score:
+                    node.node.metadata["retrieval_score"] = node.score
+                node.score = float(score)
+            if saved_cutoff is not None:
+                self.scorer.cutoff_layer = saved_cutoff
+            return sorted(nodes, key=lambda x: -x.score if x.score else 0)[
+                : self.top_n
+            ]
         if getattr(self.scorer, "coalesce", False) and self.use_efficient != 2:
             # coalescing scorer (serving): hand over un-chunked pair lists so
             # tails can fuse with other requests' pairs into full batches.
@@ -121,6 +142,70 @@ class LLMRerank:
             : self.top_n
         ]
         return new_nodes
+
+    def _judge_layer(self) -> int:
+        """The shallow score layer for cascade stage 1: the scorer's first
+        early-exit judge layer (MiniCPM layerwise trains a head there), or
+        12 for scorers that don't declare one."""
+        s = self.scorer
+        layers = getattr(s, "efficient_layers", None)
+        if not layers and hasattr(s, "scorer"):  # CoalescingScorer proxy
+            layers = getattr(s.scorer, "efficient_layers", None)
+        return layers[0] if layers else 12
+
+    def _score_at_cutoff(self, pairs, cutoff: int, stage: str):
+        """Score ``pairs`` (judge=False) at ``cutoff`` — chunked with
+        tail-bucket padding for plain scorers, one fused call for a
+        coalescing scorer (which chunks/pads internally per its warm-shape
+        policy)."""
+        import numpy as np
+
+        self.scorer.cutoff_layer = cutoff
+        if getattr(self.scorer, "coalesce", False):
+            emit("reranking", {"stage": stage, "pairs": len(pairs), "judge": False})
+            scores, _ = self.scorer.score_pairs(pairs, judge=False)
+            return np.asarray(scores, np.float32)[: len(pairs)]
+        out: List[float] = []
+        bsz = self.embed_bs
+        for lo in range(0, len(pairs), bsz):
+            chunk = pairs[lo : lo + bsz]
+            n_real = len(chunk)
+            if n_real < bsz:
+                chunk = chunk + [chunk[-1]] * (tail_bucket(n_real, bsz) - n_real)
+            emit(
+                "reranking",
+                {"stage": stage, "batch": lo // bsz, "pairs": n_real,
+                 "judge": False},
+            )
+            scores, _ = self.scorer.score_pairs(chunk, judge=False)
+            out.extend(float(s) for s in np.asarray(scores)[:n_real])
+        return np.asarray(out, np.float32)
+
+    def _score_cascade(self, nodes: List[NodeWithScore], query: str):
+        """Two-stage cascade (``use_efficient=3``, TPU-native extension —
+        see the module docstring): judge-layer scores for all pairs pick
+        ``cascade_keep`` survivors; only those re-run at full depth.
+
+        Final ordering: survivors by their full-depth scores, everything
+        else below them in stage-1 order (shifted strictly under the
+        lowest survivor so ``top_n`` can never reach past the cascade).
+        """
+        import numpy as np
+
+        pairs = [
+            (query, get_node_content(node.node, self.embed_type)) for node in nodes
+        ]
+        full_cutoff = self.scorer.cutoff_layer
+        j = min(self._judge_layer(), full_cutoff)
+        s1 = self._score_at_cutoff(pairs, j, "cascade-1")
+        keep = min(max(self.cascade_keep, self.top_n), len(pairs))
+        survivors = np.argsort(-s1, kind="stable")[:keep]
+        s2 = self._score_at_cutoff(
+            [pairs[i] for i in survivors], full_cutoff, "cascade-2"
+        )
+        final = s1 + (float(min(s2.min(), s1.min())) - 1.0 - float(s1.max()))
+        final[survivors] = s2
+        return final
 
     def _score_coalesced(self, nodes: List[NodeWithScore], query: str):
         """Score through a coalescing scorer: judge protocol (if any) on the

@@ -1,0 +1,121 @@
+"""Two-stage cascade rerank (``use_efficient=3`` — TPU-native extension,
+no reference counterpart; see ``rerankers.py`` module docstring).
+
+Contract under test: stage 1 scores EVERY pair at the judge layer in
+tail-bucketed batches, stage 2 re-scores only the top ``cascade_keep`` at
+full depth; final order is survivors by full-depth score, the rest below
+them in stage-1 order; works identically through the serving coalescer.
+"""
+
+import threading
+
+import numpy as np
+
+from easyrag_tpu.rerankers import LLMRerank
+from easyrag_tpu.schema import NodeWithScore, QueryBundle, TextNode
+
+
+class LayerScorer:
+    """Deterministic layer-dependent scorer: at the judge layer pairs rank
+    by passage length; at full depth the ranking FLIPS within the
+    survivors (so the test can see stage 2 actually decide the order)."""
+
+    def __init__(self, judge_layer=12, full=28):
+        self.cutoff_layer = full
+        self.full = full
+        self.efficient_layers = (judge_layer,)
+        self.calls = []  # (n_pairs, cutoff)
+        self._lock = threading.Lock()
+
+    def score_pairs(self, pairs, judge=False):
+        assert not judge, "cascade must never run the judge protocol"
+        with self._lock:
+            self.calls.append((len(pairs), self.cutoff_layer))
+        if self.cutoff_layer == self.full:
+            scores = [-len(p) for _, p in pairs]  # full depth: short wins
+        else:
+            scores = [float(len(p)) for _, p in pairs]  # judge: long wins
+        return np.asarray(scores, np.float32), self.cutoff_layer
+
+
+def _nodes(n):
+    # passage lengths 1..n -> judge-layer rank = descending length
+    return [
+        NodeWithScore(node=TextNode(text="x" * (i + 1), metadata={}), score=0.5)
+        for i in range(n)
+    ]
+
+
+def test_cascade_dispatch_and_ordering():
+    scorer = LayerScorer()
+    rr = LLMRerank(scorer, top_n=3, embed_bs=8, embed_type=0,
+                   use_efficient=3, cascade_keep=8)
+    out = rr.postprocess_nodes(_nodes(20), QueryBundle(query_str="q"))
+
+    # stage 1: 20 pairs at judge cutoff 12 in batches 8+8+8(tail 4 pads to
+    # the halving bucket >= TAIL_BUCKET_MIN); stage 2: 8 survivors at 28
+    assert scorer.calls == [(8, 12), (8, 12), (8, 12), (8, 28)], scorer.calls
+    # survivors = longest 8 passages (judge rank); full depth flips them:
+    # top_n comes from the SHORTEST of the survivors
+    lens = [len(n.node.text) for n in out]
+    assert lens == [13, 14, 15]
+    # cutoff restored for the next query
+    assert scorer.cutoff_layer == 28
+
+
+def test_cascade_non_survivors_rank_below_all_survivors():
+    scorer = LayerScorer()
+    rr = LLMRerank(scorer, top_n=5, embed_bs=8, use_efficient=3,
+                   cascade_keep=8)
+    nodes = _nodes(20)
+    scores = rr._score_cascade(nodes, "q")
+    # survivors = judge-layer top 8 (lengths 13..20, node indices 12..19)
+    surv, rest = scores[12:], scores[:12]
+    assert surv.min() > rest.max()  # top_n can never reach past the cascade
+    # non-survivors keep their stage-1 (length-descending) relative order
+    assert list(np.argsort(-rest)) == list(range(11, -1, -1))
+    out = rr.postprocess_nodes(nodes, QueryBundle(query_str="q"))
+    # full depth flips the survivors: shortest survivor wins
+    assert [len(n.node.text) for n in out] == [13, 14, 15, 16, 17]
+    # retrieval score preserved
+    assert all(n.node.metadata["retrieval_score"] == 0.5 for n in out)
+
+
+def test_cascade_top_n_above_keep_rescore_everything():
+    scorer = LayerScorer()
+    rr = LLMRerank(scorer, top_n=20, embed_bs=8, use_efficient=3,
+                   cascade_keep=8)
+    out = rr.postprocess_nodes(_nodes(20), QueryBundle(query_str="q"))
+    # keep clamps UP to top_n: all 20 re-scored at full depth, so the
+    # final order is pure full-depth (ascending length)
+    assert [len(n.node.text) for n in out] == list(range(1, 21))
+    assert scorer.calls == [(8, 12)] * 3 + [(8, 28)] * 3, scorer.calls
+
+
+def test_cascade_keep_clamps_to_n():
+    scorer = LayerScorer()
+    rr = LLMRerank(scorer, top_n=6, embed_bs=8, use_efficient=3,
+                   cascade_keep=2)  # below top_n -> clamped up to 6
+    rr.postprocess_nodes(_nodes(4), QueryBundle(query_str="q"))
+    # 4 pairs total (< clamped keep): both stages run all 4, padded to the
+    # minimum tail bucket (8)
+    assert scorer.calls == [(8, 12), (8, 28)], scorer.calls
+
+
+def test_cascade_through_coalescer_matches_plain():
+    from easyrag_tpu.serving.coalesce import CoalescingScorer
+
+    plain = LLMRerank(LayerScorer(), top_n=5, embed_bs=8,
+                      use_efficient=3, cascade_keep=8)
+    ref = [len(n.node.text) for n in
+           plain.postprocess_nodes(_nodes(20), QueryBundle(query_str="q"))]
+
+    scorer = LayerScorer()
+    proxy = CoalescingScorer(scorer, max_batch=8, window_ms=5)
+    rr = LLMRerank(proxy, top_n=5, embed_bs=8, use_efficient=3,
+                   cascade_keep=8)
+    out = rr.postprocess_nodes(_nodes(20), QueryBundle(query_str="q"))
+    proxy.close()
+    assert [len(n.node.text) for n in out] == ref
+    # both stages went through the fused dispatcher at each stage's cutoff
+    assert {c for _, c in scorer.calls} == {12, 28}

@@ -383,6 +383,9 @@ def main():
     ap.add_argument("--embedder-w8a8", action="store_true",
                     help="run the (already int8-weight) embedder with "
                          "dynamic activation quant in the dense route")
+    ap.add_argument("--cascade", type=int, default=0, metavar="KEEP",
+                    help="also time the two-stage cascade "
+                         "(use_efficient=3) with this cascade_keep")
     args = ap.parse_args()
 
     import jax
@@ -456,6 +459,17 @@ def main():
         scorer.use_efficient = 0
         reranker.use_efficient = 0
 
+    # ---- two-stage cascade (use_efficient=3, TPU extension) --------------
+    p50_cascade = None
+    if args.cascade:
+        reranker.use_efficient = 3
+        reranker.cascade_keep = args.cascade
+        loop.run_until_complete(pipeline.run({"query": queries[0]}))  # compile
+        p50_cascade = timed_runs(
+            f"full route, cascade keep={args.cascade}", args.queries
+        )
+        reranker.use_efficient = 0
+
     # ---- dense route incl. query embedding (short-seq bucket) ------------
     dense_route = None
     if embed_params is not None:
@@ -500,6 +514,7 @@ def main():
         "pipeline_p50_ms_cutoff28": round(p50_full * 1000, 1),
         "pipeline_p50_ms_exit12": round(p50_exit * 1000, 1) if p50_exit else None,
         "pipeline_p50_ms_exit_declined": round(p50_noexit * 1000, 1) if p50_noexit else None,
+        "pipeline_p50_ms_cascade": round(p50_cascade * 1000, 1) if p50_cascade else None,
         "retrieval_only_qps_coresident": round(retr_qps, 1),
         "dense_route_incl_embed_qps": round(dense_route, 1) if dense_route else None,
         "hbm_bytes_in_use": used,
