@@ -192,6 +192,8 @@ class EasyRAGPipeline:
                 self.nodes = all_nodes
                 self.all_nodes = all_nodes
         self.nodeid2idx = build_nodeid2idx(self.nodes)
+        self._ctx_cache: Dict[int, str] = {}  # see get_node_content
+        self._ctx_classes = None  # see _content_classes
 
         # dense index (qdrant replacement): build or load artifact
         self.dense_retriever = None
@@ -412,8 +414,24 @@ class EasyRAGPipeline:
         )
 
     def get_node_content(self, node) -> str:
+        # corpus nodes (idx >= 0) are immutable post-ingest and the view
+        # parameters are fixed per pipeline, so the rendered view is cached
+        # by dense node id — batch eval renders the same node for hundreds
+        # of queries (tools/profile_retrieval.py hot spot). Nodes outside
+        # the corpus ordering (idx -1: parents, ad-hoc) render uncached.
+        inner = node.node if isinstance(node, NodeWithScore) else node
+        idx = getattr(inner, "idx", -1)
+        if idx >= 0:
+            cached = self._ctx_cache.get(idx)
+            if cached is None:
+                cached = get_node_content(
+                    inner, embed_type=self.llm_embed_type, nodes=self.nodes,
+                    nodeid2idx=self.nodeid2idx,
+                )
+                self._ctx_cache[idx] = cached
+            return cached
         return get_node_content(
-            node, embed_type=self.llm_embed_type, nodes=self.nodes,
+            inner, embed_type=self.llm_embed_type, nodes=self.nodes,
             nodeid2idx=self.nodeid2idx,
         )
 
@@ -495,10 +513,46 @@ class EasyRAGPipeline:
                 path_lists = [[] for _ in queries]
         out = []
         for content_nodes, path_nodes in zip(content_lists, path_lists):
-            fused = HybridRetriever.fusion([content_nodes, path_nodes])
+            fused = self._fuse_corpus_lists([content_nodes, path_nodes])
             contents = [self.get_node_content(n) for n in fused]
             out.append({"answer": "", "nodes": fused, "contexts": contents})
         return out
+
+    def _content_classes(self):
+        """Dense-id content-dedup classes: ``cls[idx]`` is the idx of the
+        FIRST corpus node with the same rendered content. Lets batch fusion
+        dedup on ints instead of re-hashing ~200k content strings per
+        512-query batch (tools/profile_retrieval.py hot spot); built once,
+        nodes are immutable post-ingest."""
+        if self._ctx_classes is None:
+            first: Dict[str, int] = {}
+            self._ctx_classes = [
+                first.setdefault(n.get_content(), i)
+                for i, n in enumerate(self.nodes)
+            ]
+        return self._ctx_classes
+
+    def _fuse_corpus_lists(self, lists):
+        """``HybridRetriever.fusion`` (dedup by content keeping first
+        occurrence, stable sort by score desc, top 256) computed via the
+        integer content classes. Falls back to the string-keyed classmethod
+        when any node lacks a corpus idx — results are identical either
+        way (``test_pipeline.py::test_fast_fusion_matches_reference``)."""
+        if not all(
+            nw.node.idx >= 0 for nodes in lists for nw in nodes
+        ):
+            return HybridRetriever.fusion(lists)
+        cls = self._content_classes()
+        seen = set()
+        fused = []
+        for nodes in lists:
+            for nw in nodes:
+                c = cls[nw.node.idx]
+                if c not in seen:
+                    seen.add(c)
+                    fused.append(nw)
+        fused.sort(key=lambda n: n.score, reverse=True)
+        return fused[:256]
 
     def _run_fusion_retrieval_batch(
         self, queries: list[Dict[str, Any]]
@@ -607,12 +661,16 @@ class EasyRAGPipeline:
                     overflow.append(i)
 
         def to_nodes(tv_row, ti_row):
-            out = []
-            for v, j in zip(tv_row, ti_row):
-                if not np.isfinite(v):
-                    break
-                out.append(NodeWithScore(node=self.nodes[int(j)], score=float(v)))
-            return out
+            # scores come back sorted descending with -inf padding the tail,
+            # so the finite prefix is contiguous; .tolist() up front avoids
+            # 196k numpy-scalar conversions per 512-query batch (profiled
+            # hot spot — tools/profile_retrieval.py)
+            finite = int(np.isfinite(tv_row).sum())
+            nodes = self.nodes
+            return [
+                NodeWithScore(node=nodes[j], score=v)
+                for v, j in zip(tv_row[:finite].tolist(), ti_row[:finite].tolist())
+            ]
 
         content_lists = [[] for _ in bundles]
         path_lists = [[] for _ in bundles]

@@ -486,3 +486,39 @@ def test_webui_client_against_live_api(tmp_path):
             await runner.cleanup()
 
     asyncio.get_event_loop().run_until_complete(drive())
+
+
+def test_fast_fusion_matches_reference(tmp_path):
+    """_fuse_corpus_lists (int content-class dedup) == HybridRetriever.fusion
+    (string-keyed) including duplicate contents ACROSS lists and ties; nodes
+    without a corpus idx fall back to the string path."""
+    cfg = _config(tmp_path)
+    pipeline = EasyRAGPipeline(cfg)
+    nodes = pipeline.nodes
+    assert len(nodes) >= 3 and all(n.idx >= 0 for n in nodes)
+    # duplicate CONTENT under two different corpus nodes: fabricate a clone
+    # of node 0's text at another idx via the class map contract
+    import copy
+
+    clone = copy.copy(nodes[0])
+    clone.idx = len(nodes)
+    pipeline.nodes = nodes + [clone]
+    pipeline._ctx_classes = None  # rebuild over the extended corpus
+
+    a = [NodeWithScore(node=nodes[0], score=0.9),
+         NodeWithScore(node=nodes[1], score=0.7)]
+    b = [NodeWithScore(node=clone, score=0.8),       # same content as nodes[0]
+         NodeWithScore(node=nodes[2], score=0.7)]    # tie with nodes[1]
+    fast = pipeline._fuse_corpus_lists([a, b])
+    ref = HybridRetriever.fusion([a, b])
+    assert [(n.node.idx, n.score) for n in fast] == [
+        (n.node.idx, n.score) for n in ref
+    ]
+    # the duplicate content deduped to the FIRST occurrence (nodes[0])
+    assert all(n.node is not clone for n in fast)
+
+    # a node outside the corpus ordering forces the string fallback
+    stray = NodeWithScore(node=TextNode(text="独一无二", metadata={}), score=1.0)
+    fast2 = pipeline._fuse_corpus_lists([a, [stray]])
+    ref2 = HybridRetriever.fusion([a, [stray]])
+    assert [n.node.text for n in fast2] == [n.node.text for n in ref2]
