@@ -207,7 +207,8 @@ def bench_pipeline_budgeted():
              # tpu.embedder_quant="w8a8"): s8xs8 projections, 2x MXU rate;
              # rank stability pinned in tests/test_w8a8.py, bf16 numbers
              # recorded alongside in BASELINE.md
-             "--reranker-quant", "w8a8", "--embedder-w8a8"],
+             "--reranker-quant", "w8a8", "--embedder-w8a8",
+             "--cascade", "32"],
             capture_output=True, text=True, timeout=PIPELINE_BUDGET_S,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )

@@ -576,12 +576,35 @@ class EasyRAGPipeline:
             )
         out = []
         for sparse_nodes, dense_nodes in zip(sparse_lists, dense_lists):
-            fused = HybridRetriever.reciprocal_rank_fusion(
+            fused = self._rrf_corpus_lists(
                 [sparse_nodes, dense_nodes], topk=self.r_topk_1
             )
             contents = [self.get_node_content(n) for n in fused]
             out.append({"answer": "", "nodes": fused, "contexts": contents})
         return out
+
+    def _rrf_corpus_lists(self, lists, K: int = 60, topk: int = 256):
+        """``HybridRetriever.reciprocal_rank_fusion`` via the integer
+        content classes (same dedup/overwrite/tie semantics — first-insert
+        order breaks score ties, later routes overwrite the representative
+        node; ``test_pipeline.py::test_fast_rrf_matches_reference``). String
+        fallback when any node lacks a corpus idx."""
+        if not all(nw.node.idx >= 0 for nodes in lists for nw in nodes):
+            return HybridRetriever.reciprocal_rank_fusion(lists, K=K, topk=topk)
+        cls = self._content_classes()
+        rrf: Dict[int, float] = {}
+        rep: Dict[int, NodeWithScore] = {}
+        for rank_list in lists:
+            for rank, item in enumerate(rank_list, 1):
+                c = cls[item.node.idx]
+                rep[c] = item
+                rrf[c] = rrf.get(c, 0.0) + 1.0 / (rank + K)
+        fused = []
+        for c, score in sorted(rrf.items(), key=lambda x: x[1], reverse=True):
+            node = rep[c]
+            node.score = score
+            fused.append(node)
+        return fused[: min(topk, len(fused))]
 
     def _dual_retrieve(self, query_bundle: QueryBundle):
         """Both BM25 routes in one device dispatch when the dual scorer is

@@ -302,13 +302,14 @@ class BM25Retriever:
                     self._similarity_top_k, jnp.asarray(dirs),
                 )
                 tv, ti = jax.device_get((tv, ti))  # one bulk fetch
+            finites = np.isfinite(tv).sum(axis=1)  # scores desc, -inf tail
             for row, i in enumerate(valid):
-                out: List[NodeWithScore] = []
-                for v, j in zip(tv[row], ti[row]):
-                    if not np.isfinite(v):
-                        break
-                    out.append(NodeWithScore(node=self._nodes[int(j)], score=float(v)))
-                results[i] = out
+                cnt = int(finites[row])
+                nodes = self._nodes
+                results[i] = [
+                    NodeWithScore(node=nodes[j], score=v)
+                    for v, j in zip(tv[row, :cnt].tolist(), ti[row, :cnt].tolist())
+                ]
         saved = self.filter_dict
         for i in overflow:
             self.filter_dict = filter_dicts[i] if filter_dicts else None
@@ -369,11 +370,11 @@ class DenseRetriever:
         )
         lists: List[List[NodeWithScore]] = []
         for row_v, row_i in zip(vals, idx):
-            out: List[NodeWithScore] = []
-            for v, i in zip(row_v, row_i):
-                if not np.isfinite(v):
-                    break
-                out.append(NodeWithScore(node=self._nodes[int(i)], score=float(v)))
+            cnt = int(np.isfinite(row_v).sum())  # scores desc, -inf tail
+            out = [
+                NodeWithScore(node=self._nodes[i], score=v)
+                for v, i in zip(row_v[:cnt].tolist(), row_i[:cnt].tolist())
+            ]
             lists.append(out)
         return lists
 

@@ -522,3 +522,34 @@ def test_fast_fusion_matches_reference(tmp_path):
     fast2 = pipeline._fuse_corpus_lists([a, [stray]])
     ref2 = HybridRetriever.fusion([a, [stray]])
     assert [n.node.text for n in fast2] == [n.node.text for n in ref2]
+
+
+def test_fast_rrf_matches_reference(tmp_path):
+    """_rrf_corpus_lists == HybridRetriever.reciprocal_rank_fusion: same
+    accumulation across routes, last-route representative overwrite,
+    insertion-order tie breaking, and the string fallback."""
+    cfg = _config(tmp_path)
+    pipeline = EasyRAGPipeline(cfg)
+    nodes = pipeline.nodes
+    a = [NodeWithScore(node=nodes[0], score=1.0),
+         NodeWithScore(node=nodes[1], score=0.9),
+         NodeWithScore(node=nodes[2], score=0.8)]
+    # route 2 re-ranks the shared nodes differently and adds a new one
+    b = [NodeWithScore(node=nodes[2], score=1.0),
+         NodeWithScore(node=nodes[0], score=0.9)]
+    ref = HybridRetriever.reciprocal_rank_fusion(
+        [[NodeWithScore(node=n.node, score=n.score) for n in lst]
+         for lst in (a, b)], topk=4,
+    )
+    fast = pipeline._rrf_corpus_lists([a, b], topk=4)
+    assert [(n.node.idx, round(n.score, 9)) for n in fast] == [
+        (n.node.idx, round(n.score, 9)) for n in ref
+    ]
+    # fallback path: non-corpus node present
+    stray = NodeWithScore(node=TextNode(text="孤立节点", metadata={}), score=1.0)
+    ref2 = HybridRetriever.reciprocal_rank_fusion(
+        [[NodeWithScore(node=n.node, score=n.score) for n in a], [stray]],
+        topk=4,
+    )
+    fast2 = pipeline._rrf_corpus_lists([a, [stray]], topk=4)
+    assert [n.node.text for n in fast2] == [n.node.text for n in ref2]

@@ -82,6 +82,9 @@ def main():
     ap.add_argument("--no-coalesce", action="store_true")
     ap.add_argument("--reranker-quant", default="", choices=["", "w8a8"],
                     help="boot the reranker w8a8 (s8 x s8 projections)")
+    ap.add_argument("--cascade", type=int, default=0, metavar="KEEP",
+                    help="two-stage cascade (use_efficient=3) with this "
+                         "cascade_keep")
     args = ap.parse_args()
 
     from easyrag_tpu.serving.api import create_app
@@ -94,6 +97,9 @@ def main():
         ns.scorer.use_efficient = 1
         ns.reranker.use_efficient = 1
         ns.scorer.efficient_t = 0.0  # judge always fires (see bench_pipeline)
+    elif args.cascade:
+        ns.reranker.use_efficient = 3
+        ns.reranker.cascade_keep = args.cascade
 
     ns.pipeline.config.serve_coalesce_rerank = not args.no_coalesce
     app = create_app(ns.pipeline)
@@ -103,7 +109,11 @@ def main():
         drive(app, args.requests, args.concurrency, queries)
     )
     out = {
-        "mode": ("exit@judge" if args.use_exit else "cutoff28")
+        "mode": (
+            "exit@judge" if args.use_exit
+            else f"cascade{args.cascade}" if args.cascade
+            else "cutoff28"
+        )
         + ("+coalesce" if coalesced else ""),
         "concurrency": args.concurrency,
         "requests": args.requests,
