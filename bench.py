@@ -186,7 +186,8 @@ def main() -> None:
     )
 
 
-PIPELINE_BUDGET_S = 2400  # compile-cache-warm runs finish well inside this
+PIPELINE_BUDGET_S = 3000  # compile-cache-warm runs finish well inside this
+# (raised in r3: the subprocess now also times the cascade mode)
 
 
 def bench_pipeline_budgeted():

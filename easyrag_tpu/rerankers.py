@@ -82,14 +82,24 @@ class LLMRerank:
         n = len(nodes)
         bsz = self.embed_bs
         saved_cutoff = getattr(self.scorer, "cutoff_layer", None)
+        try:
+            return self._postprocess_inner(nodes, query, n, bsz)
+        finally:
+            # don't leak a stage/exit cutoff across queries, even when a
+            # batch raises mid-protocol (for the plain scorer the attribute
+            # is process-global; for the coalescer it's this thread's view)
+            if saved_cutoff is not None:
+                self.scorer.cutoff_layer = saved_cutoff
+
+    def _postprocess_inner(
+        self, nodes: List[NodeWithScore], query: str, n: int, bsz: int
+    ) -> List[NodeWithScore]:
         if self.use_efficient == 3:
             scores = self._score_cascade(nodes, query)
             for node, score in zip(nodes, scores):
                 if self.keep_retrieval_score:
                     node.node.metadata["retrieval_score"] = node.score
                 node.score = float(score)
-            if saved_cutoff is not None:
-                self.scorer.cutoff_layer = saved_cutoff
             return sorted(nodes, key=lambda x: -x.score if x.score else 0)[
                 : self.top_n
             ]
@@ -102,8 +112,6 @@ class LLMRerank:
                 if self.keep_retrieval_score:
                     node.node.metadata["retrieval_score"] = node.score
                 node.score = float(score)
-            if saved_cutoff is not None:
-                self.scorer.cutoff_layer = saved_cutoff
             return sorted(nodes, key=lambda x: -x.score if x.score else 0)[
                 : self.top_n
             ]
@@ -136,8 +144,6 @@ class LLMRerank:
                 if self.keep_retrieval_score:
                     node.node.metadata["retrieval_score"] = node.score
                 node.score = float(score)
-        if saved_cutoff is not None:
-            self.scorer.cutoff_layer = saved_cutoff  # don't leak across queries
         new_nodes = sorted(nodes, key=lambda x: -x.score if x.score else 0)[
             : self.top_n
         ]

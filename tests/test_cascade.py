@@ -119,3 +119,22 @@ def test_cascade_through_coalescer_matches_plain():
     assert [len(n.node.text) for n in out] == ref
     # both stages went through the fused dispatcher at each stage's cutoff
     assert {c for _, c in scorer.calls} == {12, 28}
+
+
+def test_cutoff_restored_when_a_batch_raises():
+    """A scorer failure mid-protocol must not leak the stage/exit cutoff
+    into the next query (postprocess_nodes try/finally)."""
+    import pytest
+
+    class Boom(LayerScorer):
+        def score_pairs(self, pairs, judge=False):
+            if self.cutoff_layer != self.full:
+                raise RuntimeError("device fell over")
+            return super().score_pairs(pairs, judge)
+
+    scorer = Boom()
+    rr = LLMRerank(scorer, top_n=3, embed_bs=8, use_efficient=3,
+                   cascade_keep=8)
+    with pytest.raises(RuntimeError):
+        rr.postprocess_nodes(_nodes(20), QueryBundle(query_str="q"))
+    assert scorer.cutoff_layer == 28  # restored despite the exception
