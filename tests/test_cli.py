@@ -180,3 +180,18 @@ def test_embedder_bucketing_shapes():
     assert not np.allclose(q, t)
     # deterministic
     np.testing.assert_allclose(emb.get_text_embedding("abc"), out[2], rtol=1e-5)
+
+
+def test_cascade_knobs_config_reachable(tmp_path):
+    """r_use_efficient=3 + tpu.cascade_keep reach the pipeline through the
+    same --set machinery as every other knob."""
+    from easyrag_tpu.config import load_config
+
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text("retrieval_type: 2\n", encoding="utf-8")
+    cfg = load_config(
+        str(cfg_file),
+        set_specs=["r_use_efficient=3", "tpu.cascade_keep=64"],
+    )
+    assert cfg.r_use_efficient == 3
+    assert cfg.tpu.cascade_keep == 64
