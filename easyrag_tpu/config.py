@@ -56,6 +56,13 @@ class TPUConfig:
     # HBM budget for the padded term-major light-postings tables ((V+1)*C*8
     # bytes per index); tables over budget fall back to the CSR layout
     sparse_light_rows_hbm_budget: int = 256 * 1024 * 1024
+    # backend for cfg.local_llm_name: "jax" runs the TPU-native
+    # prefill+KV-cache greedy decoder (models/decode.py) from a safetensors
+    # checkpoint dir; "hf" keeps the torch parity wrapper
+    # (generation.LocalHFLLM, reference llm_utils.py:58-73 semantics)
+    local_llm_backend: str = "jax"
+    # weight storage for the jax local LLM: "" | "int8" | "w8a8"
+    local_llm_quant: str = "int8"
     # shard the retrieval indexes (sparse postings + dense matrix) over the
     # mesh "data" axis: per-shard scoring + local top-k + all-gather merge
     # (parallel/sharded.py). Requires mesh_shape with a "data" axis > 1;

@@ -1,0 +1,358 @@
+"""TPU-native autoregressive generation: bucketed prefill + KV-cache decode.
+
+The reference's local-LLM option runs HF ``model.generate`` on a GPU
+(``/root/reference/src/easyrag/utils/llm_utils.py:58-73``: chat template,
+greedy ``top_k=1``, ``max_length=8192``). A literal port would re-trace the
+whole prompt every step; the TPU-native design is two static-shape phases:
+
+* **prefill** — one causal forward over the prompt padded LEFT to a length
+  bucket, writing each layer's rotary-encoded K/V into a preallocated
+  ``[B, S + max_new, kv_heads, head_dim]`` cache. Left padding keeps the
+  generated suffix contiguous with the prompt (the same convention the
+  MiniCPM reranker path already uses, ``minicpm.py::build_inputs``).
+* **decode** — a ``lax.while_loop`` of single-token steps: one row of each
+  projection, rotary at the true per-row position (``prompt_len + step``),
+  dot-product attention against the cache with a stored validity mask, and
+  a greedy argmax over the LM head. The loop exits as soon as every row has
+  emitted an EOS, so short answers don't pay for ``max_new_tokens``.
+
+Everything is jittable with static ``(bucket, max_new)`` shapes, so
+repeated calls hit XLA's compile cache; the per-layer Python loop unrolls
+at trace time (no data-dependent control flow inside the step).
+
+Numerics match :func:`easyrag_tpu.models.layers.forward_hidden` run over
+the growing sequence (same primitives, same f32 softmax/norm accumulation);
+``tests/test_decode.py`` pins token-sequence equality against that oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .layers import (
+    DecoderConfig,
+    _linear,
+    apply_rope,
+    attention_bias_from_mask,
+    embed,
+    mlp,
+    rms_norm,
+    rope_tables,
+)
+
+Cache = List[Dict[str, jnp.ndarray]]
+
+
+def init_cache(cfg: DecoderConfig, batch: int, total_len: int) -> Cache:
+    """Per-layer K/V buffers, rotary already applied at write time."""
+    nkv, hd = cfg.num_key_value_heads, cfg.hd
+    return [
+        {
+            "k": jnp.zeros((batch, total_len, nkv, hd), cfg.dtype),
+            "v": jnp.zeros((batch, total_len, nkv, hd), cfg.dtype),
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+
+
+def _qkv(cfg: DecoderConfig, p: Dict[str, Any], h: jnp.ndarray):
+    b, s, _ = h.shape
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+    a8 = cfg.act_quant
+    q = _linear(h, p["q"], a8).reshape(b, s, nh, hd)
+    k = _linear(h, p["k"], a8).reshape(b, s, nkv, hd)
+    v = _linear(h, p["v"], a8).reshape(b, s, nkv, hd)
+    return q, k, v
+
+
+def _attn_scale(cfg: DecoderConfig) -> float:
+    if cfg.query_pre_attn_scalar:
+        return cfg.query_pre_attn_scalar ** -0.5
+    return cfg.hd ** -0.5
+
+
+def _prefill_layer(
+    cfg: DecoderConfig,
+    p: Dict[str, Any],
+    x: jnp.ndarray,
+    bias: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cache: Dict[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One decoder layer over the full prompt; K/V land in ``cache[:, :S]``."""
+    r = cfg.residual_scale
+    h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps, cfg.gemma)
+    q, k, v = _qkv(cfg, p["attn"], h)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    s = x.shape[1]
+    cache = {
+        "k": jax.lax.dynamic_update_slice(cache["k"], k.astype(cfg.dtype), (0, 0, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], v.astype(cfg.dtype), (0, 0, 0, 0)),
+    }
+    nh, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    if nkv != nh:
+        rep = nh // nkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        * _attn_scale(cfg)
+    )
+    if cfg.attn_logit_softcapping:
+        cap = cfg.attn_logit_softcapping
+        logits = jnp.tanh(logits / cap) * cap
+    logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(x.shape[0], s, nh * cfg.hd)
+    h = _linear(out, p["attn"]["o"], cfg.act_quant)
+    if cfg.gemma:
+        h = rms_norm(h, p["post_attn_norm"], cfg.rms_norm_eps, cfg.gemma)
+        x = x + h
+        h = rms_norm(x, p["pre_mlp_norm"], cfg.rms_norm_eps, cfg.gemma)
+        h = mlp(cfg, p["mlp"], h)
+        h = rms_norm(h, p["post_mlp_norm"], cfg.rms_norm_eps, cfg.gemma)
+        return x + h, cache
+    x = x + h * r
+    h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+    h = mlp(cfg, p["mlp"], h)
+    return x + h * r, cache
+
+
+def _decode_layer(
+    cfg: DecoderConfig,
+    p: Dict[str, Any],
+    x: jnp.ndarray,  # [B, 1, D]
+    pos: jnp.ndarray,  # scalar int32: cache slot being written
+    kv_mask: jnp.ndarray,  # [B, T] validity of cache slots (incl. this one)
+    cos: jnp.ndarray,  # [B, 1, hd]
+    sin: jnp.ndarray,
+    cache: Dict[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    r = cfg.residual_scale
+    h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps, cfg.gemma)
+    q, k, v = _qkv(cfg, p["attn"], h)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    cache = {
+        "k": jax.lax.dynamic_update_slice(cache["k"], k.astype(cfg.dtype), (0, pos, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(cache["v"], v.astype(cfg.dtype), (0, pos, 0, 0)),
+    }
+    b = x.shape[0]
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+    g = nh // nkv
+    qg = q.reshape(b, nkv, g, hd)
+    # [B, nkv, g, T] attention against every valid cached slot; no causal
+    # term needed — the query IS the newest position.
+    logits = (
+        jnp.einsum("bkgd,btkd->bkgt", qg, cache["k"], preferred_element_type=jnp.float32)
+        * _attn_scale(cfg)
+    )
+    if cfg.attn_logit_softcapping:
+        cap = cfg.attn_logit_softcapping
+        logits = jnp.tanh(logits / cap) * cap
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(kv_mask[:, None, None, :] > 0, logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bkgt,btkd->bkgd", probs, cache["v"]).reshape(b, 1, nh * hd)
+    h = _linear(out, p["attn"]["o"], cfg.act_quant)
+    if cfg.gemma:
+        h = rms_norm(h, p["post_attn_norm"], cfg.rms_norm_eps, cfg.gemma)
+        x = x + h
+        h = rms_norm(x, p["pre_mlp_norm"], cfg.rms_norm_eps, cfg.gemma)
+        h = mlp(cfg, p["mlp"], h)
+        h = rms_norm(h, p["post_mlp_norm"], cfg.rms_norm_eps, cfg.gemma)
+        return x + h, cache
+    x = x + h * r
+    h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+    h = mlp(cfg, p["mlp"], h)
+    return x + h * r, cache
+
+
+def _lm_logits(cfg: DecoderConfig, params: Dict[str, Any], h: jnp.ndarray) -> jnp.ndarray:
+    """Final-normed hidden [B, D] -> vocab logits [B, V] (f32)."""
+    if cfg.dim_model_base:  # MiniCPM logit scaling (SURVEY §2: layers.py note)
+        h = h / (cfg.hidden_size / cfg.dim_model_base)
+    head = params.get("lm_head")
+    if head is None:  # tied embeddings (Qwen2-0.5B/1.5B, MiniCPM, Gemma)
+        head = {"w": params["embed"]}
+    elif not isinstance(head, dict):  # hf_loader stores the plain CausalLM
+        head = {"w": head}  # head as a raw [V, D] array
+    return _linear(h, head).astype(jnp.float32)
+
+
+def _prefill(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,  # [B, S] LEFT-padded
+    attention_mask: jnp.ndarray,  # [B, S]
+    cache: Cache,
+) -> Tuple[jnp.ndarray, Cache]:
+    b, s = input_ids.shape
+    # left padding: real tokens occupy the suffix; their rotary positions
+    # count from 0 at the first real token
+    lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)  # [B]
+    positions = jnp.maximum(
+        jnp.arange(s, dtype=jnp.int32)[None, :] - (s - lengths)[:, None], 0
+    )
+    cos, sin = rope_tables(positions, cfg.hd, cfg.rope_theta)
+    bias = attention_bias_from_mask(attention_mask)
+    h = embed(cfg, params, input_ids)
+    new_cache: Cache = []
+    for idx in range(cfg.num_hidden_layers):
+        h, c = _prefill_layer(
+            cfg, params["layers"][idx], h, bias, cos, sin, cache[idx]
+        )
+        new_cache.append(c)
+    h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps, cfg.gemma)
+    return h[:, -1], new_cache  # left-pad => last slot is the last real token
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_new_tokens"))
+def generate_greedy(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,  # [B, S] LEFT-padded int32
+    attention_mask: jnp.ndarray,  # [B, S] int32
+    eos_ids: jnp.ndarray,  # [E] int32 (pad with repeats)
+    max_new_tokens: int,
+) -> jnp.ndarray:
+    """Greedy decode (the reference's ``top_k=1``/``do_sample=False``).
+
+    Returns ``[B, max_new_tokens]`` int32; positions after a row's EOS are
+    filled with the EOS id. The emitted EOS itself is kept so callers can
+    split on it.
+    """
+    b, s = input_ids.shape
+    t_total = s + max_new_tokens
+    cache = init_cache(cfg, b, t_total)
+    lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+    h_last, cache = _prefill(cfg, params, input_ids, attention_mask, cache)
+    first = jnp.argmax(_lm_logits(cfg, params, h_last), axis=-1).astype(jnp.int32)
+
+    kv_mask0 = jnp.concatenate(
+        [attention_mask.astype(jnp.int32), jnp.zeros((b, max_new_tokens), jnp.int32)],
+        axis=1,
+    )
+    out0 = jnp.full((b, max_new_tokens), eos_ids[0], jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+
+    def cond(carry):
+        step, _, _, _, done, _ = carry
+        return jnp.logical_and(step < max_new_tokens, ~jnp.all(done))
+
+    def body(carry):
+        step, tok, kv_mask, out, done, cache = carry
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(done, eos_ids[0], tok)[:, None], (0, step)
+        )
+        done = jnp.logical_or(done, jnp.any(tok[:, None] == eos_ids[None, :], axis=1))
+        pos = s + step  # uniform cache slot (left padding)
+        kv_mask = jax.lax.dynamic_update_slice(
+            kv_mask, (~done).astype(jnp.int32)[:, None], (0, pos)
+        )
+        rope_pos = (lengths + step)[:, None]  # true per-row position
+        cos, sin = rope_tables(rope_pos, cfg.hd, cfg.rope_theta)
+        h = embed(cfg, params, tok[:, None])
+        new_cache: Cache = []
+        for idx in range(cfg.num_hidden_layers):
+            h, c = _decode_layer(
+                cfg, params["layers"][idx], h, pos, kv_mask, cos, sin, cache[idx]
+            )
+            new_cache.append(c)
+        h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps, cfg.gemma)
+        nxt = jnp.argmax(_lm_logits(cfg, params, h[:, 0]), axis=-1).astype(jnp.int32)
+        return step + 1, nxt, kv_mask, out, done, new_cache
+
+    carry = (jnp.int32(0), first, kv_mask0, out0, done0, cache)
+    step, tok, kv_mask, out, done, cache = jax.lax.while_loop(cond, body, carry)
+    # the loop exits before writing the final token of rows that never hit
+    # EOS at step == max_new_tokens - 1; the last body iteration always
+    # writes tok at its step first, so `out` is complete on exit.
+    return out
+
+
+def _pad_left(
+    ids: Sequence[int], bucket: int, pad_id: int
+) -> Tuple[List[int], List[int]]:
+    pad = bucket - len(ids)
+    return [pad_id] * pad + list(ids), [0] * pad + [1] * len(ids)
+
+
+class JaxCausalLM:
+    """Local TPU generation backend for the pipeline's ``local_llm`` option.
+
+    Parity target: ``/root/reference/src/easyrag/utils/llm_utils.py:58-73``
+    (chat template, greedy, ``max_length=8192``) — but the forward is the
+    shared JAX decoder with an int8-quantizable weight tree streamed by
+    ``hf_loader``, and decoding is :func:`generate_greedy`'s static-shape
+    prefill+KV-cache loop instead of HF's per-step re-dispatch.
+    """
+
+    MAX_LENGTH = 8192  # reference cap (llm_utils.py:66)
+
+    def __init__(
+        self,
+        model_dir: str,
+        dtype=jnp.bfloat16,
+        quant: str = "int8",
+        max_new_tokens: int = 512,
+        buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192 - 512),
+    ) -> None:
+        from transformers import AutoTokenizer
+
+        from .hf_loader import load_decoder_params, load_hf_config
+        from .qwen2 import qwen2_config_from_hf
+
+        hf = load_hf_config(model_dir)
+        self.cfg = qwen2_config_from_hf(hf, dtype=dtype)
+        if quant == "w8a8":
+            import dataclasses
+
+            self.cfg = dataclasses.replace(self.cfg, act_quant=True)
+        self.params = load_decoder_params(
+            model_dir, self.cfg.num_hidden_layers, dtype=dtype, quant=quant
+        )
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            model_dir, trust_remote_code=True
+        )
+        eos = hf.get("eos_token_id", self.tokenizer.eos_token_id)
+        self.eos_ids = [eos] if isinstance(eos, int) else list(eos)
+        self.max_new_tokens = max_new_tokens
+        self.buckets = tuple(buckets)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def generate(self, query: str) -> str:
+        messages = [{"role": "user", "content": query}]
+        ids = self.tokenizer.apply_chat_template(
+            messages, add_generation_prompt=True
+        )
+        ids = ids[-(self.MAX_LENGTH - self.max_new_tokens):]
+        bucket = self._bucket(len(ids))
+        max_new = min(self.max_new_tokens, self.MAX_LENGTH - bucket)
+        pad_id = self.tokenizer.pad_token_id or self.eos_ids[0]
+        row, mask = _pad_left(ids, bucket, pad_id)
+        out = generate_greedy(
+            self.cfg,
+            self.params,
+            jnp.asarray([row], jnp.int32),
+            jnp.asarray([mask], jnp.int32),
+            jnp.asarray(self.eos_ids, jnp.int32),
+            max_new,
+        )
+        toks = list(out[0].tolist())
+        for e in self.eos_ids:
+            if e in toks:
+                toks = toks[: toks.index(e)]
+                break
+        return self.tokenizer.decode(toks, skip_special_tokens=True)

@@ -305,12 +305,20 @@ class EasyRAGPipeline:
                 cascade_keep=cfg.tpu.cascade_keep,
             )
 
-        # local LLM
+        # local LLM (reference pipeline.py:264-279; generation backend per
+        # tpu.local_llm_backend — "jax" is the TPU decode path)
         self.local_llm = None
         if cfg.local_llm_name:
-            from .generation import LocalHFLLM
+            if cfg.tpu.local_llm_backend == "jax":
+                from .models.decode import JaxCausalLM
 
-            self.local_llm = LocalHFLLM(cfg.local_llm_name)
+                self.local_llm = JaxCausalLM(
+                    cfg.local_llm_name, quant=cfg.tpu.local_llm_quant
+                )
+            else:
+                from .generation import LocalHFLLM
+
+                self.local_llm = LocalHFLLM(cfg.local_llm_name)
 
         # compressor (constructed but not invoked in run(), matching the
         # reference's current behavior — SURVEY.md §2 compressor note)
@@ -434,6 +442,14 @@ class EasyRAGPipeline:
             inner, embed_type=self.llm_embed_type, nodes=self.nodes,
             nodeid2idx=self.nodeid2idx,
         )
+
+    def local_llm_generate(self, query: str) -> str:
+        """Local-model generation (reference ``pipeline.py:320-321``) —
+        greedy chat completion through the configured ``local_llm`` backend
+        (TPU KV-cache decoder or the torch parity wrapper)."""
+        if self.local_llm is None:
+            raise RuntimeError("local_llm_name not configured")
+        return self.local_llm.generate(query)
 
     async def generation(self, llm, prompt: str) -> CompletionResponse:
         if llm is None:

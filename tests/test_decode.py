@@ -1,0 +1,192 @@
+"""KV-cache greedy decode vs the growing-forward oracle.
+
+The oracle re-runs :func:`forward_hidden` over the whole (prompt + emitted)
+sequence each step and argmaxes the last logit — exactly what the
+reference's HF ``model.generate(top_k=1)`` computes
+(``/root/reference/src/easyrag/utils/llm_utils.py:58-73``). The cached
+decoder must emit the identical token sequence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from easyrag_tpu.models.decode import _lm_logits, generate_greedy
+from easyrag_tpu.models.layers import DecoderConfig, forward_hidden, init_params
+
+VOCAB = 97  # prime-ish: argmax collisions across shapes are unlikely
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        vocab_size=VOCAB,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        dtype=jnp.float32,
+    )
+    base.update(kw)
+    return DecoderConfig(**base)
+
+
+def oracle_greedy(cfg, params, prompt, max_new, eos_ids):
+    """Re-forward the growing sequence each step (the HF generate cost
+    model); stops after emitting an EOS, pads with eos_ids[0]."""
+    seq = list(prompt)
+    out = []
+    for _ in range(max_new):
+        ids = jnp.asarray([seq], jnp.int32)
+        mask = jnp.ones_like(ids)
+        h = forward_hidden(cfg, params, ids, mask)
+        tok = int(jnp.argmax(_lm_logits(cfg, params, h[:, -1]), axis=-1)[0])
+        out.append(tok)
+        if tok in eos_ids:
+            break
+        seq.append(tok)
+    return out + [eos_ids[0]] * (max_new - len(out))
+
+
+def run_cached(cfg, params, prompt, max_new, eos_ids, bucket=None):
+    bucket = bucket or len(prompt)
+    pad = bucket - len(prompt)
+    ids = jnp.asarray([[0] * pad + list(prompt)], jnp.int32)
+    mask = jnp.asarray([[0] * pad + [1] * len(prompt)], jnp.int32)
+    out = generate_greedy(
+        cfg, params, ids, mask, jnp.asarray(eos_ids, jnp.int32), max_new
+    )
+    return list(np.asarray(out[0]))
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},  # plain llama-family (qwen2 minus bias)
+        {"attention_bias": True},  # qwen2
+        {"num_key_value_heads": 2},  # GQA
+        {"scale_emb": 12.0, "scale_depth": 1.4, "dim_model_base": 256.0},  # minicpm
+        {"gemma": True, "attn_logit_softcapping": 50.0, "query_pre_attn_scalar": 8.0},
+    ],
+)
+def test_cached_decode_matches_growing_forward(kw):
+    cfg = tiny_cfg(**kw)
+    params = init_params(cfg, jax.random.key(0))
+    prompt = [3, 1, 4, 1, 5, 9, 2]
+    eos = [VOCAB - 1]
+    want = oracle_greedy(cfg, params, prompt, 8, eos)
+    got = run_cached(cfg, params, prompt, 8, eos)
+    assert got == want
+
+
+def test_left_padding_invariance():
+    cfg = tiny_cfg()
+    params = init_params(cfg, jax.random.key(1))
+    prompt = [7, 7, 2, 9]
+    eos = [VOCAB - 1]
+    unpadded = run_cached(cfg, params, prompt, 6, eos)
+    padded = run_cached(cfg, params, prompt, 6, eos, bucket=16)
+    assert padded == unpadded
+
+
+def test_batch_rows_independent():
+    cfg = tiny_cfg(num_key_value_heads=2)
+    params = init_params(cfg, jax.random.key(2))
+    eos = [VOCAB - 1]
+    p1, p2 = [5, 3, 8], [11, 4, 6, 2, 9, 1]
+    bucket = 8
+    rows, masks = [], []
+    for p in (p1, p2):
+        pad = bucket - len(p)
+        rows.append([0] * pad + p)
+        masks.append([0] * pad + [1] * len(p))
+    out = generate_greedy(
+        cfg,
+        params,
+        jnp.asarray(rows, jnp.int32),
+        jnp.asarray(masks, jnp.int32),
+        jnp.asarray(eos, jnp.int32),
+        5,
+    )
+    for row, p in zip(np.asarray(out), (p1, p2)):
+        assert list(row) == run_cached(cfg, params, p, 5, eos, bucket=bucket)
+
+
+def test_eos_stops_and_fills():
+    cfg = tiny_cfg()
+    params = init_params(cfg, jax.random.key(3))
+    prompt = [2, 4, 6]
+    free = oracle_greedy(cfg, params, prompt, 6, eos_ids=[-1])  # never stops
+    eos = [free[2]]  # force a stop at the 3rd emitted token
+    got = run_cached(cfg, params, prompt, 6, eos)
+    assert got[:3] == free[:3]
+    assert got[3:] == [eos[0]] * 3
+    # the emitted EOS is kept in-place (callers split on it)
+    assert got[2] == eos[0]
+
+
+def test_lm_head_untied_and_minicpm_scaling():
+    """With an explicit lm_head the logits must use it (not the embed
+    table), and MiniCPM's hidden/(d/dim_model_base) scaling must apply."""
+    cfg = tiny_cfg(dim_model_base=256.0)
+    params = init_params(cfg, jax.random.key(4))
+    params["lm_head"] = jax.random.normal(
+        jax.random.key(5), (VOCAB, cfg.hidden_size), jnp.float32
+    )
+    h = jax.random.normal(jax.random.key(6), (2, cfg.hidden_size), jnp.float32)
+    got = np.asarray(_lm_logits(cfg, params, h))
+    want = (h / (cfg.hidden_size / 256.0)) @ params["lm_head"].T
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5)
+
+
+def test_jax_causal_lm_matches_hf_generate(tmp_path):
+    """End-to-end through a real on-disk checkpoint: JaxCausalLM (f32, no
+    quant) must emit the same greedy tokens as HF ``model.generate`` — the
+    reference's exact local path (llm_utils.py:58-73)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    from easyrag_tpu.models.decode import JaxCausalLM
+
+    out = tmp_path / "qwen2-tiny-causal"
+    torch.manual_seed(7)
+    hf_cfg = Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, attn_implementation="eager",
+        tie_word_embeddings=False, eos_token_id=61,
+    )
+    model = Qwen2ForCausalLM(hf_cfg).eval().float()
+    model.save_pretrained(str(out), safe_serialization=True)
+
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_checkpoint_boot import _word_tokenizer
+
+    tok = _word_tokenizer()
+    tok.chat_template = (
+        "{% for m in messages %}{{ m['content'] }} {% endfor %}"
+        "{% if add_generation_prompt %}w0 {% endif %}"
+    )
+    tok.save_pretrained(str(out))
+
+    llm = JaxCausalLM(
+        str(out), dtype=jnp.float32, quant="", max_new_tokens=8,
+        buckets=(8, 16, 32),
+    )
+    query = "w3 w1 w4 w1 w5"
+    got = llm.generate(query)
+
+    ids = tok.apply_chat_template(
+        [{"role": "user", "content": query}],
+        add_generation_prompt=True, return_tensors="pt",
+    )
+    with torch.no_grad():
+        hf_out = model.generate(
+            ids, max_new_tokens=8, do_sample=False, top_k=1,
+            eos_token_id=61, pad_token_id=61,
+        )
+    want = tok.decode(hf_out[0][ids.shape[1]:], skip_special_tokens=True)
+    assert got == want

@@ -1,0 +1,105 @@
+"""Local-LLM decode throughput at Qwen2-7B-Instruct scale.
+
+Measures the TPU generation path (``models/decode.py``: bucketed prefill +
+KV-cache greedy loop) that backs ``tpu.local_llm_backend="jax"`` — the
+reference's local option runs HF ``model.generate`` on a 16 GB GPU
+(``/root/reference/src/easyrag/utils/llm_utils.py:58-73``).
+
+Method: weights are random, generated ON DEVICE (uploads crawl through the
+axon tunnel; timing is identical to real weights). Two timed runs at the
+same prompt bucket — ``max_new=1`` (≈ prefill cost) and ``max_new=1+N``
+— so the difference isolates N pure decode steps. EOS is a sentinel that
+never fires, so the while_loop runs all N steps. Completion barrier is a
+device->host scalar readback of the output tokens' sum.
+
+Run: python tools/bench_decode.py [--quant int8] [--batch 1] [--tiny]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quant", default="int8", choices=["bf16", "int8", "w8a8"])
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--prompt", type=int, default=1024, help="prompt bucket")
+    ap.add_argument("--new", type=int, default=64, help="decode steps timed")
+    ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument(
+        "--tiny", action="store_true",
+        help="2-layer toy model: smoke-tests the tool itself (CPU-safe)",
+    )
+    args = ap.parse_args()
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from easyrag_tpu.models.decode import generate_greedy
+    from easyrag_tpu.models.hf_loader import quantize_decoder_tree
+    from easyrag_tpu.models.layers import DecoderConfig, init_params
+
+    # Qwen2-7B-Instruct architecture (what the reference points
+    # local_llm_name / llmlingua at)
+    arch = dict(
+        vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+        num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
+        attention_bias=True, rope_theta=1e6,
+    )
+    if args.tiny:
+        arch = dict(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=1, attention_bias=True,
+        )
+    cfg = DecoderConfig(dtype=jnp.bfloat16, **arch)
+    if args.quant == "w8a8":
+        cfg = dataclasses.replace(cfg, act_quant=True)
+
+    print(f"backend={jax.default_backend()} quant={args.quant}", flush=True)
+    params = init_params(cfg, jax.random.key(0))
+    if args.quant in ("int8", "w8a8"):
+        params = quantize_decoder_tree(params)
+    nbytes = sum(x.nbytes for x in jax.tree.leaves(params))
+    print(f"params: {nbytes / 2**30:.2f} GiB", flush=True)
+
+    B, S, N = args.batch, args.prompt, args.new
+    rng = jax.random.key(1)
+    ids = jax.random.randint(rng, (B, S), 0, cfg.vocab_size, jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    eos = jnp.asarray([-1], jnp.int32)  # never fires: all N steps run
+
+    def run(max_new):
+        out = generate_greedy(cfg, params, ids, mask, eos, max_new)
+        return int(jnp.sum(out))  # scalar readback barrier
+
+    def best_of(max_new):
+        run(max_new)  # compile
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            run(max_new)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_prefill = best_of(1)
+    t_full = best_of(1 + N)
+    dec = (t_full - t_prefill) / N
+    print(
+        f"prefill+1: {t_prefill * 1e3:.1f} ms "
+        f"({B * S / t_prefill:.0f} tok/s prefill)"
+    )
+    print(
+        f"decode: {dec * 1e3:.2f} ms/step -> {B / dec:.1f} tok/s "
+        f"(batch {B}; {1 / dec:.1f} steps/s)"
+    )
+
+
+if __name__ == "__main__":
+    main()
