@@ -82,6 +82,7 @@ def _prefill_layer(
     bias: jnp.ndarray,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
+    mask: jnp.ndarray,  # [B, S] padding mask
     cache: Dict[str, jnp.ndarray],
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One decoder layer over the full prompt; K/V land in ``cache[:, :S]``."""
@@ -100,16 +101,47 @@ def _prefill_layer(
         rep = nh // nkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-    logits = (
-        jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        * _attn_scale(cfg)
-    )
-    if cfg.attn_logit_softcapping:
-        cap = cfg.attn_logit_softcapping
-        logits = jnp.tanh(logits / cap) * cap
-    logits = logits + bias
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(x.shape[0], s, nh * cfg.hd)
+    if (
+        cfg.use_flash
+        and not cfg.attn_logit_softcapping
+        and cfg.hd % 128 == 0
+        and s % 128 == 0
+    ):
+        # long-prompt prefill: the einsum path would materialize the
+        # [B, H, S, S] f32 logits (6.6 GB at 7B scale / S=7680); flash
+        # keeps the scores tile in VMEM. Left padding rides the segment-id
+        # mask (pad id 0, real id 1), causality the kernel's block mask.
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
+
+        seg = mask.astype(jnp.int32)
+        out = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            segment_ids=SegmentIds(seg, seg),
+            causal=True,
+            sm_scale=_attn_scale(cfg),
+        )
+        out = (
+            out.transpose(0, 2, 1, 3).reshape(x.shape[0], s, nh * cfg.hd)
+            .astype(x.dtype)
+        )
+    else:
+        logits = (
+            jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+            * _attn_scale(cfg)
+        )
+        if cfg.attn_logit_softcapping:
+            cap = cfg.attn_logit_softcapping
+            logits = jnp.tanh(logits / cap) * cap
+        logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(
+            x.shape[0], s, nh * cfg.hd
+        )
     h = _linear(out, p["attn"]["o"], cfg.act_quant)
     if cfg.gemma:
         h = rms_norm(h, p["post_attn_norm"], cfg.rms_norm_eps, cfg.gemma)
@@ -201,12 +233,20 @@ def _prefill(
         jnp.arange(s, dtype=jnp.int32)[None, :] - (s - lengths)[:, None], 0
     )
     cos, sin = rope_tables(positions, cfg.hd, cfg.rope_theta)
-    bias = attention_bias_from_mask(attention_mask)
+    flash = (
+        cfg.use_flash
+        and not cfg.attn_logit_softcapping
+        and cfg.hd % 128 == 0
+        and s % 128 == 0
+    )
+    # the [B, 1, S, S] f32 bias is only needed by the einsum fallback
+    bias = None if flash else attention_bias_from_mask(attention_mask)
     h = embed(cfg, params, input_ids)
     new_cache: Cache = []
     for idx in range(cfg.num_hidden_layers):
         h, c = _prefill_layer(
-            cfg, params["layers"][idx], h, bias, cos, sin, cache[idx]
+            cfg, params["layers"][idx], h, bias, cos, sin, attention_mask,
+            cache[idx],
         )
         new_cache.append(c)
     h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps, cfg.gemma)

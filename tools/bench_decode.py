@@ -42,7 +42,7 @@ def main():
     import jax.numpy as jnp
 
     from easyrag_tpu.models.decode import generate_greedy
-    from easyrag_tpu.models.hf_loader import quantize_decoder_tree
+    from easyrag_tpu.models.hf_loader import quantize_linear_int8_device
     from easyrag_tpu.models.layers import DecoderConfig, init_params
 
     # Qwen2-7B-Instruct architecture (what the reference points
@@ -63,9 +63,24 @@ def main():
         cfg = dataclasses.replace(cfg, act_quant=True)
 
     print(f"backend={jax.default_backend()} quant={args.quant}", flush=True)
-    params = init_params(cfg, jax.random.key(0))
-    if args.quant in ("int8", "w8a8"):
-        params = quantize_decoder_tree(params)
+
+    # ONE jitted dispatch for the whole tree: per-leaf dispatches each pay
+    # the ~30 ms tunnel round trip (~200 of them stall for minutes — same
+    # lesson as tools/bench_pipeline.py::make_embedder_params_int8)
+    def build(key):
+        p = init_params(cfg, key)
+        if args.quant in ("int8", "w8a8"):
+            for layer in p["layers"]:
+                for group in ("attn", "mlp"):
+                    for name, lin in list(layer[group].items()):
+                        rest = {k: v for k, v in lin.items() if k != "w"}
+                        layer[group][name] = {
+                            **quantize_linear_int8_device(lin["w"]),
+                            **rest,
+                        }
+        return p
+
+    params = jax.jit(build)(jax.random.key(0))
     nbytes = sum(x.nbytes for x in jax.tree.leaves(params))
     print(f"params: {nbytes / 2**30:.2f} GiB", flush=True)
 

@@ -78,6 +78,82 @@ class StubLLM:
         return CompletionResponse(text="无法确定")
 
 
+class LocalGenLLM:
+    """REAL on-chip generation at Qwen2-7B-Instruct scale: the QA prompt is
+    tokenized 1-char-per-token (pins the honest token count; Chinese is
+    ~1 char/token under the real Qwen2 vocab), left-padded to a 128-multiple
+    bucket, and greedy-decoded ``max_new`` steps through the KV-cache loop
+    (``models/decode.py``). EOS is a sentinel that never fires, so every
+    answer pays the full ``max_new`` decode cost (worst case; real answers
+    stop at EOS and cost less)."""
+
+    def __init__(self, cfg, params, max_new=128,
+                 buckets=(2048, 4096, 7680)) -> None:
+        self.cfg, self.params = cfg, params
+        self.max_new = max_new
+        self.buckets = buckets
+        self.prompt_tokens = 0  # last call, for reporting
+
+    async def acomplete(self, prompt: str):
+        import jax.numpy as jnp
+
+        from easyrag_tpu.generation import CompletionResponse
+        from easyrag_tpu.models.decode import generate_greedy
+
+        ids = [(hash(c) % (self.cfg.vocab_size - 2)) + 2 for c in prompt]
+        ids = ids[-self.buckets[-1]:]
+        bucket = next(b for b in self.buckets if len(ids) <= b)
+        self.prompt_tokens = len(ids)
+        pad = bucket - len(ids)
+        out = generate_greedy(
+            self.cfg,
+            self.params,
+            jnp.asarray([[0] * pad + ids], jnp.int32),
+            jnp.asarray([[0] * pad + [1] * len(ids)], jnp.int32),
+            jnp.asarray([-1], jnp.int32),  # sentinel: all max_new steps run
+            self.max_new,
+        )
+        int(out.sum())  # device->host scalar readback barrier
+        return CompletionResponse(text=f"[{self.max_new} tokens decoded on-chip]")
+
+
+def make_local_llm(max_new: int, tiny: bool = False):
+    """Random int8 Qwen2-7B-Instruct-architecture weights on device, plus
+    an untied int8 lm_head (the 7B-Instruct layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    from easyrag_tpu.models.layers import DecoderConfig
+
+    arch = dict(
+        vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+        num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
+        attention_bias=True, rope_theta=1e6,
+    )
+    if tiny:
+        arch = dict(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=2,
+            num_key_value_heads=1, attention_bias=True,
+        )
+    cfg = DecoderConfig(
+        dtype=jnp.bfloat16, use_flash=jax.default_backend() != "cpu", **arch
+    )
+    params = make_embedder_params_int8(cfg, jax.random.key(31))
+
+    @jax.jit
+    def head(key):
+        w_q = jax.random.randint(
+            key, (cfg.vocab_size, cfg.hidden_size), -127, 128, jnp.int32
+        ).astype(jnp.int8)
+        return {"w_q": w_q,
+                "scale": jnp.full((cfg.vocab_size,), 0.02 / 73.0, jnp.float32)}
+
+    params["lm_head"] = head(jax.random.key(32))
+    buckets = (64, 128) if tiny else (2048, 4096, 7680)
+    return LocalGenLLM(cfg, params, max_new=max_new, buckets=buckets)
+
+
 def build_corpus_on_disk(root: str, n_docs: int, rng) -> None:
     """Synthetic corpus shaped like the zedx chunk set (~300 tokens/doc,
     Zipfian 40k vocab), written as one-chunk .txt files the real ingestion
@@ -383,6 +459,10 @@ def main():
     ap.add_argument("--embedder-w8a8", action="store_true",
                     help="run the (already int8-weight) embedder with "
                          "dynamic activation quant in the dense route")
+    ap.add_argument("--local-llm", type=int, default=0, metavar="MAX_NEW",
+                    help="also boot a 7B-Instruct-scale local LLM (int8, "
+                         "on-chip KV-cache decode) and time the full route "
+                         "with REAL generation of MAX_NEW tokens")
     ap.add_argument("--cascade", type=int, default=0, metavar="KEEP",
                     help="also time the two-stage cascade "
                          "(use_efficient=3) with this cascade_keep")
@@ -470,6 +550,29 @@ def main():
         )
         reranker.use_efficient = 0
 
+    # ---- full route + REAL on-chip generation ----------------------------
+    p50_gen = None
+    if args.local_llm:
+        local = make_local_llm(args.local_llm, tiny=args.tiny)
+        account("local_llm_7b_int8", local.params)
+        used = hbm_stats("with local LLM loaded")
+        saved_llm = pipeline.llm
+        pipeline.llm = local
+        if args.cascade:  # generation on top of the fastest full-quality mode
+            reranker.use_efficient = 3
+            reranker.cascade_keep = args.cascade
+        print("[full route + generation] compiling prefill+decode...", flush=True)
+        loop.run_until_complete(pipeline.run({"query": queries[0]}))
+        p50_gen = timed_runs(
+            f"full route + ON-CHIP generation (max_new={args.local_llm}, "
+            f"prompt~{local.prompt_tokens} tok"
+            + (f", cascade keep={args.cascade}" if args.cascade else "")
+            + ")",
+            args.queries,
+        )
+        reranker.use_efficient = 0
+        pipeline.llm = saved_llm
+
     # ---- dense route incl. query embedding (short-seq bucket) ------------
     dense_route = None
     if embed_params is not None:
@@ -515,6 +618,7 @@ def main():
         "pipeline_p50_ms_exit12": round(p50_exit * 1000, 1) if p50_exit else None,
         "pipeline_p50_ms_exit_declined": round(p50_noexit * 1000, 1) if p50_noexit else None,
         "pipeline_p50_ms_cascade": round(p50_cascade * 1000, 1) if p50_cascade else None,
+        "pipeline_p50_ms_with_generation": round(p50_gen * 1000, 1) if p50_gen else None,
         "retrieval_only_qps_coresident": round(retr_qps, 1),
         "dense_route_incl_embed_qps": round(dense_route, 1) if dense_route else None,
         "hbm_bytes_in_use": used,
