@@ -341,45 +341,68 @@ class JaxCausalLM:
         model_dir: str,
         dtype=jnp.bfloat16,
         quant: str = "int8",
-        max_new_tokens: int = 512,
-        buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192 - 512),
+        max_new_tokens: Optional[int] = None,
+        buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 7680),
     ) -> None:
+        import dataclasses
+        import json
+        import os
+
         from transformers import AutoTokenizer
 
         from .hf_loader import load_decoder_params, load_hf_config
         from .qwen2 import qwen2_config_from_hf
+        from .registry import _require_local
 
+        model_dir = _require_local(model_dir, "local LLM")
         hf = load_hf_config(model_dir)
         self.cfg = qwen2_config_from_hf(hf, dtype=dtype)
         if quant == "w8a8":
-            import dataclasses
-
             self.cfg = dataclasses.replace(self.cfg, act_quant=True)
+        if jax.default_backend() != "cpu" and self.cfg.hd % 128 == 0:
+            # long-prompt prefill must run the flash kernel (the einsum
+            # fallback materializes [B,H,S,S] f32 logits — 6.6 GB at 7B
+            # scale / S=7680); same gate as registry.py's model loads
+            self.cfg = dataclasses.replace(self.cfg, use_flash=True)
         self.params = load_decoder_params(
             model_dir, self.cfg.num_hidden_layers, dtype=dtype, quant=quant
         )
         self.tokenizer = AutoTokenizer.from_pretrained(
             model_dir, trust_remote_code=True
         )
+        # HF generate (the parity target) honors generation_config.json's
+        # EOS list on top of config.json (Qwen2-7B-Instruct declares
+        # [151643, 151645] there but only 151645 in config.json)
         eos = hf.get("eos_token_id", self.tokenizer.eos_token_id)
-        self.eos_ids = [eos] if isinstance(eos, int) else list(eos)
+        eos_ids = [eos] if isinstance(eos, int) else list(eos)
+        gen_cfg_path = os.path.join(model_dir, "generation_config.json")
+        if os.path.exists(gen_cfg_path):
+            with open(gen_cfg_path) as f:
+                g = json.load(f).get("eos_token_id")
+            for e in [g] if isinstance(g, int) else (g or []):
+                if e not in eos_ids:
+                    eos_ids.append(e)
+        self.eos_ids = eos_ids
+        # None -> generate until total length MAX_LENGTH (the reference's
+        # ``max_length=8192`` semantics); an int caps new tokens
         self.max_new_tokens = max_new_tokens
-        self.buckets = tuple(buckets)
-
-    def _bucket(self, n: int) -> int:
-        for b in self.buckets:
-            if n <= b:
-                return b
-        return self.buckets[-1]
+        self.buckets = tuple(sorted(buckets))
 
     def generate(self, query: str) -> str:
         messages = [{"role": "user", "content": query}]
         ids = self.tokenizer.apply_chat_template(
             messages, add_generation_prompt=True
         )
-        ids = ids[-(self.MAX_LENGTH - self.max_new_tokens):]
-        bucket = self._bucket(len(ids))
-        max_new = min(self.max_new_tokens, self.MAX_LENGTH - bucket)
+        # the prompt can never exceed the largest bucket, and must leave
+        # room for at least one generated token
+        cap = min(self.buckets[-1], self.MAX_LENGTH - 1)
+        if self.max_new_tokens is not None:
+            cap = min(cap, self.MAX_LENGTH - self.max_new_tokens)
+        ids = ids[-cap:]
+        bucket = next(b for b in self.buckets if len(ids) <= b)
+        max_new = self.MAX_LENGTH - bucket
+        if self.max_new_tokens is not None:
+            max_new = min(self.max_new_tokens, max_new)
         pad_id = self.tokenizer.pad_token_id or self.eos_ids[0]
         row, mask = _pad_left(ids, bucket, pad_id)
         out = generate_greedy(
@@ -391,8 +414,8 @@ class JaxCausalLM:
             max_new,
         )
         toks = list(out[0].tolist())
-        for e in self.eos_ids:
-            if e in toks:
-                toks = toks[: toks.index(e)]
-                break
+        # truncate at the EARLIEST eos occurrence (any of the ids)
+        cut = min((toks.index(e) for e in self.eos_ids if e in toks), default=None)
+        if cut is not None:
+            toks = toks[:cut]
         return self.tokenizer.decode(toks, skip_special_tokens=True)

@@ -58,7 +58,11 @@ def main():
             num_hidden_layers=2, num_attention_heads=2,
             num_key_value_heads=1, attention_bias=True,
         )
-    cfg = DecoderConfig(dtype=jnp.bfloat16, **arch)
+    cfg = DecoderConfig(
+        dtype=jnp.bfloat16,
+        use_flash=jax.default_backend() != "cpu",
+        **arch,
+    )
     if args.quant == "w8a8":
         cfg = dataclasses.replace(cfg, act_quant=True)
 
