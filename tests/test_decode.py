@@ -190,3 +190,61 @@ def test_jax_causal_lm_matches_hf_generate(tmp_path):
         )
     want = tok.decode(hf_out[0][ids.shape[1]:], skip_special_tokens=True)
     assert got == want
+
+
+def test_tp_decode_matches_single_device():
+    """Tensor-parallel generation: params sharded Megatron-style over a
+    'model' mesh axis (parallel/tp.py NamedSharding annotations, XLA
+    inserts the all-reduces) must emit the same greedy tokens as the
+    unsharded run."""
+    from jax.sharding import Mesh
+
+    from easyrag_tpu.parallel.tp import shard_decoder_params
+
+    cfg = tiny_cfg(num_key_value_heads=4)
+    params = init_params(cfg, jax.random.key(9))
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    eos = [VOCAB - 1]
+    want = run_cached(cfg, params, prompt, 6, eos)
+
+    devs = np.array(jax.devices()[:4]).reshape(4)
+    mesh = Mesh(devs, ("model",))
+    tp_params = shard_decoder_params(mesh, cfg, params, axis="model")
+    with mesh:
+        out = generate_greedy(
+            cfg,
+            tp_params,
+            jnp.asarray([prompt], jnp.int32),
+            jnp.ones((1, len(prompt)), jnp.int32),
+            jnp.asarray(eos, jnp.int32),
+            6,
+        )
+    assert list(np.asarray(out[0])) == want
+
+
+def test_tp_decode_int8_weights():
+    """Same under int8 weight-only params (the production local-LLM
+    config): sharded scales ride the column dim."""
+    from jax.sharding import Mesh
+
+    from easyrag_tpu.models.hf_loader import quantize_decoder_tree
+    from easyrag_tpu.parallel.tp import shard_decoder_params
+
+    cfg = tiny_cfg(num_key_value_heads=4)
+    params = quantize_decoder_tree(init_params(cfg, jax.random.key(10)))
+    prompt = [8, 2, 7, 5]
+    eos = [VOCAB - 1]
+    want = run_cached(cfg, params, prompt, 5, eos)
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+    tp_params = shard_decoder_params(mesh, cfg, params, axis="model")
+    with mesh:
+        out = generate_greedy(
+            cfg,
+            tp_params,
+            jnp.asarray([prompt], jnp.int32),
+            jnp.ones((1, len(prompt)), jnp.int32),
+            jnp.asarray(eos, jnp.int32),
+            5,
+        )
+    assert list(np.asarray(out[0])) == want
