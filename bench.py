@@ -180,10 +180,38 @@ def main() -> None:
                     "reranker_2b_batch32x1064_cutoff28_ms": round(rr_ms, 1),
                     "reranker_mfu_pct": round(rr_mfu, 1),
                     "pipeline": bench_pipeline_budgeted(),
+                    "local_llm_decode": bench_decode_budgeted(),
                 },
             }
         )
     )
+
+
+DECODE_BUDGET_S = 900
+
+
+def bench_decode_budgeted():
+    """On-chip generation metric (7B-Instruct-scale int8 KV-cache decode,
+    ``models/decode.py``) via ``tools/bench_decode.py`` in a budgeted
+    subprocess — same isolation rationale as the pipeline metric."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "tools/bench_decode.py", "--quant", "int8",
+             "--batch", "1", "--prompt", "1024", "--new", "16", "--json"],
+            capture_output=True, text=True, timeout=DECODE_BUDGET_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                return _json.loads(line)
+        return {"error": (proc.stderr or proc.stdout)[-300:]}
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {DECODE_BUDGET_S}s"}
 
 
 PIPELINE_BUDGET_S = 3000  # compile-cache-warm runs finish well inside this

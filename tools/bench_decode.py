@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--prompt", type=int, default=1024, help="prompt bucket")
     ap.add_argument("--new", type=int, default=64, help="decode steps timed")
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--json", action="store_true",
+                    help="also print one machine-readable JSON line")
     ap.add_argument(
         "--tiny", action="store_true",
         help="2-layer toy model: smoke-tests the tool itself (CPU-safe)",
@@ -118,6 +120,15 @@ def main():
         f"decode: {dec * 1e3:.2f} ms/step -> {B / dec:.1f} tok/s "
         f"(batch {B}; {1 / dec:.1f} steps/s)"
     )
+    if args.json:
+        import json
+
+        print(json.dumps({
+            "decode_ms_step": round(dec * 1e3, 2),
+            "decode_tok_s": round(B / dec, 1),
+            "prefill_tok_s": round(B * S / t_prefill, 0),
+            "batch": B, "prompt": S, "quant": args.quant,
+        }))
 
 
 if __name__ == "__main__":
