@@ -47,6 +47,12 @@ class TPUConfig:
     # cascade_keep — must be >= r_topk; larger values trade speed for a
     # smaller chance the judge layer hides a true top-r_topk pair
     cascade_keep: int = 32
+    # cascade stage 2 resumes from the carried stage-1 hidden states
+    # instead of re-running layers [0, judge) — saves keep x judge
+    # layer-batches per query for ~1.2 GB of transient HBM at the
+    # production shape (off by default: the fully co-resident bf16 config
+    # sits near the 16 GB ceiling)
+    cascade_carry: bool = False
     # resident sparse heavy-matrix storage: float32 (exact, default) |
     # bfloat16 (2x HBM headroom) | int8 (4x, per-doc-column scales)
     sparse_heavy_dtype: str = "float32"

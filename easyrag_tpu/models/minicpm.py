@@ -94,6 +94,21 @@ def _embed_tokens(cfg: DecoderConfig, params, input_ids):
     return embed(cfg, params, input_ids)
 
 
+@functools.partial(jax.jit, static_argnames=("pad_left",))
+def _gather_padded_rows(
+    chunks: Tuple[jnp.ndarray, ...], idx: jnp.ndarray, pad_left: bool
+) -> jnp.ndarray:
+    """Pad each [b, S_c, D] chunk to the widest S, concatenate, gather
+    ``idx`` rows — one dispatch for the whole cascade survivor assembly."""
+    s_max = max(h.shape[1] for h in chunks)
+    padded = []
+    for h in chunks:
+        pad = s_max - h.shape[1]
+        width = ((0, 0), (pad, 0), (0, 0)) if pad_left else ((0, 0), (0, pad), (0, 0))
+        padded.append(jnp.pad(h, width) if pad else h)
+    return jnp.concatenate(padded, axis=0)[idx]
+
+
 def last_real_index(mask_np: np.ndarray) -> np.ndarray:
     """Per-row index of the last real (mask=1) token — the scored position
     under either padding side (``rerankers.py:193-201`` last_logit_pool)."""
@@ -250,6 +265,63 @@ class MiniCPMLayerWiseReranker:
         n = len(p)
         entropy = -np.sum(p * np.log(np.maximum(p, 1e-30)))
         return bool(entropy / (-np.log(1.0 / n)) >= self.efficient_t)
+
+    def score_pairs_carry(
+        self, pairs: List[Tuple[str, str]]
+    ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """Stage-1 cascade scoring that also returns the segment's hidden
+        states, so stage 2 can RESUME at the judge layer instead of
+        re-running layers [0, j) (the ROADMAP carry lever — saves
+        ``keep x j`` layer-batches per query). Numerically identical to
+        ``score_pairs(judge=False)``; the carry holds the post-layer-j
+        hidden [B, S, D] on device plus the host mask."""
+        ids_np, mask_np = self.build_inputs(pairs)
+        ids, mask = jnp.asarray(ids_np), jnp.asarray(mask_np)
+        last_idx = jnp.asarray(last_real_index(mask_np))
+        hidden = _embed_tokens(self.cfg, self.params, ids)
+        hidden = _segment(self.cfg, self.params, hidden, mask, 0, self.cutoff_layer)
+        scores = _layer_score(
+            self.cfg, self.params, hidden, self.cutoff_layer, last_idx,
+            scale_head_input=(self.use_efficient == 0),
+        )
+        return np.asarray(scores), {"hidden": hidden, "mask": mask_np}
+
+    def score_carried(
+        self,
+        chunk_hiddens: List[jnp.ndarray],
+        flat_idx: np.ndarray,
+        masks_rows: np.ndarray,
+        from_layer: int,
+    ) -> np.ndarray:
+        """Cascade stage 2 from carried stage-1 hidden states.
+
+        ``chunk_hiddens``: per-stage-1-chunk ``[b_c, S_c, D]`` device
+        arrays; ``flat_idx``: row indices into their concatenation (after
+        each chunk is padded to the widest bucket); ``masks_rows``: the
+        re-padded ``[N, S_max]`` masks. One jitted gather assembles the
+        survivor batch on device — per-row indexing would pay the tunnel
+        dispatch latency ~3N times.
+
+        RoPE note: re-padding shifts LEFT-padded rows to new absolute
+        positions; rotary attention depends only on position DIFFERENCES
+        within a row (uniform shift), so scores match the re-run path up
+        to bf16 tiling noise — the same batch-composition caveat the
+        non-carried stage 2 already has (BASELINE.md).
+        """
+        pad_left = getattr(self, "padding_side", "left") != "right"
+        hidden = _gather_padded_rows(
+            tuple(chunk_hiddens), jnp.asarray(flat_idx), pad_left
+        )
+        mask = jnp.asarray(masks_rows)
+        last_idx = jnp.asarray(last_real_index(masks_rows))
+        h = _segment(
+            self.cfg, self.params, hidden, mask, from_layer, self.cutoff_layer
+        )
+        scores = _layer_score(
+            self.cfg, self.params, h, self.cutoff_layer, last_idx,
+            scale_head_input=(self.use_efficient == 0),
+        )
+        return np.asarray(scores)
 
     def score_pairs(
         self, pairs: List[Tuple[str, str]], judge: bool = False

@@ -79,6 +79,7 @@ def load_reranker(
     use_st: bool = False,
     quant: str = "",
     cascade_keep: int = 32,
+    cascade_carry: bool = False,
 ):
     """Reranker by name (``rerankers.py:142-184`` dispatch)."""
     from ..rerankers import LLMRerank, SentenceTransformerRerank
@@ -109,6 +110,7 @@ def load_reranker(
         return LLMRerank(
             scorer, top_n=top_n, embed_bs=embed_bs, embed_type=embed_type,
             use_efficient=use_efficient, cascade_keep=cascade_keep,
+            cascade_carry=cascade_carry,
         )
     if "bge-reranker-v2.5-gemma2-lightweight" in name:
         from .gemma import load_gemma_reranker
@@ -117,7 +119,7 @@ def load_reranker(
         return LLMRerank(
             scorer, top_n=top_n, embed_bs=embed_bs, embed_type=embed_type,
             use_efficient=use_efficient if use_efficient == 3 else 0,
-            cascade_keep=cascade_keep,
+            cascade_keep=cascade_keep, cascade_carry=cascade_carry,
         )
     from .yes_logit import YesLogitScorer
 

@@ -303,6 +303,7 @@ class EasyRAGPipeline:
                 use_st=(cfg.use_reranker == 1),
                 quant=cfg.tpu.reranker_quant,
                 cascade_keep=cfg.tpu.cascade_keep,
+                cascade_carry=cfg.tpu.cascade_carry,
             )
 
         # local LLM (reference pipeline.py:264-279; generation backend per

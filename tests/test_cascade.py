@@ -138,3 +138,79 @@ def test_cutoff_restored_when_a_batch_raises():
     with pytest.raises(RuntimeError):
         rr.postprocess_nodes(_nodes(20), QueryBundle(query_str="q"))
     assert scorer.cutoff_layer == 28  # restored despite the exception
+
+
+# -- carry variant (tpu.cascade_carry) ---------------------------------------
+
+
+def _real_scorer(padding_side=None):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_models import _scorer
+
+    s = _scorer(use_efficient=3)
+    if padding_side:
+        s.padding_side = padding_side
+    return s
+
+
+def _run_cascade(carry, padding_side=None, n=11, bs=4, keep=4, seq_bucket=None):
+    scorer = _real_scorer(padding_side)
+    if seq_bucket:
+        scorer.seq_bucket = seq_bucket
+    rr = LLMRerank(
+        scorer, top_n=2, embed_bs=bs, use_efficient=3,
+        cascade_keep=keep, cascade_carry=carry,
+    )
+    # varied passage lengths force different per-chunk seq buckets
+    nodes = [
+        NodeWithScore(
+            node=TextNode(text="doc " + "x y z " * (3 + 7 * (i % 3)) + str(i),
+                          metadata={}),
+            score=0.5,
+        )
+        for i in range(n)
+    ]
+    out = rr.postprocess_nodes(nodes, QueryBundle(query_str="q u e r y"))
+    return [nd.node.text for nd in out], [nd.score for nd in out]
+
+
+def test_cascade_carry_matches_rescore_path():
+    """The carried stage 2 (resume from layer-j hidden) must reproduce the
+    re-run-from-0 cascade: same output order, scores equal to float
+    tolerance (f32 on CPU — the layer math is row-independent)."""
+    texts_a, scores_a = _run_cascade(carry=False)
+    texts_b, scores_b = _run_cascade(carry=True)
+    assert texts_a == texts_b
+    np.testing.assert_allclose(scores_a, scores_b, rtol=1e-4, atol=1e-5)
+
+
+def test_cascade_carry_right_padding():
+    texts_a, scores_a = _run_cascade(carry=False, padding_side="right")
+    texts_b, scores_b = _run_cascade(carry=True, padding_side="right")
+    assert texts_a == texts_b
+    np.testing.assert_allclose(scores_a, scores_b, rtol=1e-4, atol=1e-5)
+
+
+def test_cascade_carry_mixed_seq_buckets():
+    """Survivors spanning chunks with DIFFERENT seq buckets re-pad into one
+    stage-2 batch (the gather + re-pad path)."""
+    texts_a, scores_a = _run_cascade(carry=False, seq_bucket=8, n=13, keep=6)
+    texts_b, scores_b = _run_cascade(carry=True, seq_bucket=8, n=13, keep=6)
+    assert texts_a == texts_b
+    np.testing.assert_allclose(scores_a, scores_b, rtol=1e-4, atol=1e-5)
+
+
+def test_cascade_carry_falls_back_for_incapable_scorers():
+    """A scorer without score_pairs_carry (e.g. the fake LayerScorer, or
+    yes-logit) silently uses the re-score path."""
+    scorer = LayerScorer()
+    rr = LLMRerank(scorer, top_n=2, embed_bs=4, use_efficient=3,
+                   cascade_keep=4, cascade_carry=True)
+    out = rr.postprocess_nodes(_nodes(9), QueryBundle(query_str="q"))
+    assert len(out) == 2
+    # both stages ran through score_pairs
+    cutoffs = {c for _, c in scorer.calls}
+    assert cutoffs == {12, 28}

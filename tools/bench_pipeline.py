@@ -463,6 +463,9 @@ def main():
                     help="also boot a 7B-Instruct-scale local LLM (int8, "
                          "on-chip KV-cache decode) and time the full route "
                          "with REAL generation of MAX_NEW tokens")
+    ap.add_argument("--cascade-carry", action="store_true",
+                    help="cascade stage 2 resumes from carried stage-1 "
+                         "hidden states (tpu.cascade_carry)")
     ap.add_argument("--cascade", type=int, default=0, metavar="KEEP",
                     help="also time the two-stage cascade "
                          "(use_efficient=3) with this cascade_keep")
@@ -544,9 +547,12 @@ def main():
     if args.cascade:
         reranker.use_efficient = 3
         reranker.cascade_keep = args.cascade
+        reranker.cascade_carry = args.cascade_carry
         loop.run_until_complete(pipeline.run({"query": queries[0]}))  # compile
         p50_cascade = timed_runs(
-            f"full route, cascade keep={args.cascade}", args.queries
+            f"full route, cascade keep={args.cascade}"
+            + (" CARRIED" if args.cascade_carry else ""),
+            args.queries,
         )
         reranker.use_efficient = 0
 
