@@ -248,3 +248,22 @@ def test_tp_decode_int8_weights():
             5,
         )
     assert list(np.asarray(out[0])) == want
+
+
+def test_w8a8_decode_matches_growing_forward():
+    """The quantized decode path (int8 weights + per-token activation
+    quant) must agree with the SAME-quantized growing-forward oracle —
+    the cache introduces no additional quantization error."""
+    import dataclasses
+
+    from easyrag_tpu.models.hf_loader import quantize_decoder_tree
+
+    cfg = dataclasses.replace(tiny_cfg(num_key_value_heads=2), act_quant=True)
+    params = quantize_decoder_tree(
+        init_params(dataclasses.replace(cfg, act_quant=False), jax.random.key(11))
+    )
+    prompt = [4, 9, 3, 7, 1]
+    eos = [VOCAB - 1]
+    want = oracle_greedy(cfg, params, prompt, 6, eos)
+    got = run_cached(cfg, params, prompt, 6, eos)
+    assert got == want
