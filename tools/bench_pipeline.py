@@ -95,6 +95,13 @@ class LocalGenLLM:
         self.prompt_tokens = 0  # last call, for reporting
 
     async def acomplete(self, prompt: str):
+        import asyncio
+
+        # keep the event loop responsive while the chip decodes (seconds):
+        # serving handlers must still accept/queue concurrent requests
+        return await asyncio.to_thread(self._complete, prompt)
+
+    def _complete(self, prompt: str):
         import jax.numpy as jnp
 
         from easyrag_tpu.generation import CompletionResponse

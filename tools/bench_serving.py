@@ -85,6 +85,12 @@ def main():
     ap.add_argument("--cascade", type=int, default=0, metavar="KEEP",
                     help="two-stage cascade (use_efficient=3) with this "
                          "cascade_keep")
+    ap.add_argument("--cascade-carry", action="store_true",
+                    help="cascade stage 2 resumes from carried hidden")
+    ap.add_argument("--local-llm", type=int, default=0, metavar="MAX_NEW",
+                    help="REAL on-chip generation per request (7B int8 "
+                         "KV-cache decode of MAX_NEW tokens) instead of "
+                         "the stub")
     args = ap.parse_args()
 
     from easyrag_tpu.serving.api import create_app
@@ -100,6 +106,12 @@ def main():
     elif args.cascade:
         ns.reranker.use_efficient = 3
         ns.reranker.cascade_keep = args.cascade
+        ns.reranker.cascade_carry = args.cascade_carry
+
+    if args.local_llm:
+        from bench_pipeline import make_local_llm
+
+        ns.pipeline.llm = make_local_llm(args.local_llm, tiny=args.tiny)
 
     ns.pipeline.config.serve_coalesce_rerank = not args.no_coalesce
     app = create_app(ns.pipeline)
@@ -114,6 +126,8 @@ def main():
             else f"cascade{args.cascade}" if args.cascade
             else "cutoff28"
         )
+        + ("+carry" if args.cascade and args.cascade_carry else "")
+        + (f"+gen{args.local_llm}" if args.local_llm else "")
         + ("+coalesce" if coalesced else ""),
         "concurrency": args.concurrency,
         "requests": args.requests,
