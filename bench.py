@@ -237,7 +237,10 @@ def bench_pipeline_budgeted():
              # rank stability pinned in tests/test_w8a8.py, bf16 numbers
              # recorded alongside in BASELINE.md
              "--reranker-quant", "w8a8", "--embedder-w8a8",
-             "--cascade", "32"],
+             # carried cascade: stage 2 resumes from stage-1 hidden
+             # (-12.5% p50, ~1.2 GB transient — fits next to the w8a8
+             # tenants' 11.2 GiB)
+             "--cascade", "32", "--cascade-carry"],
             capture_output=True, text=True, timeout=PIPELINE_BUDGET_S,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
