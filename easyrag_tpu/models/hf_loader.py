@@ -190,8 +190,11 @@ def load_decoder_params(
                 heads[(start_layer or 0) + j * head_layer_sep] = jnp.asarray(
                     tensor
                 ).astype(jnp.float32)
-            else:  # plain causal-lm head (e.g. 'Yes'-logit rerankers)
-                params["lm_head"] = put(tensor)
+            else:  # plain causal-lm head (e.g. 'Yes'-logit rerankers, the
+                # local LLM) — quantized like any linear: at decode time
+                # the head matmul reads the whole [V, D] table every step
+                # (1.04 GB bf16 at Qwen2-7B ≈ 15% of the step's bytes)
+                params["lm_head"] = put_linear(tensor)
         elif parts[0] == "layers":
             i = int(parts[1])
             if i >= num_layers:

@@ -40,7 +40,15 @@ class YesLogitScorer:
         self.cutoff_layer = cfg.num_hidden_layers
         yes_loc = tokenizer("Yes", add_special_tokens=False)["input_ids"][0]
         head = params.get("lm_head", params["embed"])  # tied when absent
-        self.yes_row = head[yes_loc]
+        if isinstance(head, dict):  # hf_loader linear form (maybe int8)
+            if "w_q" in head:
+                self.yes_row = (
+                    head["w_q"][yes_loc].astype(jnp.float32) * head["scale"][yes_loc]
+                )
+            else:
+                self.yes_row = head["w"][yes_loc]
+        else:
+            self.yes_row = head[yes_loc]
         # reuse the pair-prompt builder (identical prompt format)
         self._builder = MiniCPMLayerWiseReranker.__new__(MiniCPMLayerWiseReranker)
         self._builder.tokenizer = tokenizer
