@@ -69,6 +69,23 @@ class TPUConfig:
     local_llm_backend: str = "jax"
     # weight storage for the jax local LLM: "" | "int8" | "w8a8"
     local_llm_quant: str = "int8"
+    # use the local decoder as the ANSWER LLM (pipeline.llm) instead of the
+    # GLM-4 network client — the complete zero-network RAG deployment.
+    # Concurrent requests batch into shared decode dispatches
+    # (generation.BatchingLocalLLM; decode is weight-bandwidth-bound, so
+    # batched rows are nearly free — +4% step cost at B=8, BASELINE.md)
+    local_llm_answer: bool = False
+    # cap on generated tokens per answer (0 -> the reference's
+    # max_length=8192 semantics: generate until EOS or the length cap)
+    local_llm_max_new: int = 0
+    # max rows per batched generation dispatch; KV cache costs ~56 KB per
+    # (row, token slot) at 7B scale, so 8 rows at the 7680 bucket is
+    # ~3.5 GB of transient HBM
+    local_llm_gen_batch: int = 8
+    # pre-compile the generation executables at boot (serving: kills the
+    # tens-of-seconds cold-compile p99 spike on first-seen prompt buckets;
+    # warms the top two length buckets at batch sizes 1..gen_batch)
+    local_llm_warmup: bool = False
     # shard the retrieval indexes (sparse postings + dense matrix) over the
     # mesh "data" axis: per-shard scoring + local top-k + all-gather merge
     # (parallel/sharded.py). Requires mesh_shape with a "data" axis > 1;

@@ -68,6 +68,88 @@ class OpenAICompatLLM:
         return asyncio.get_event_loop().run_until_complete(self.acomplete(prompt))
 
 
+class BatchingLocalLLM:
+    """On-chip answer generation with cross-request batching (TPU
+    extension; no reference equivalent — the reference's generation stage
+    is a network call, ``rag.py:26-39``).
+
+    Wraps a local decoder (``models.decode.JaxCausalLM`` or anything with
+    ``generate_batch``/``generate``) behind the pipeline's async
+    ``acomplete`` LLM contract. Concurrent prompts within a window fuse
+    into one batched decode: the KV-cache step is weight-bandwidth-bound,
+    so extra rows are nearly free (B=8 measured at +4% step cost vs B=1,
+    BASELINE.md) and serving throughput on the generation stage scales
+    ~linearly with the batch. While a batch occupies the chip, new
+    arrivals keep queueing — under saturation the flusher naturally drains
+    the whole backlog as one batch.
+    """
+
+    def __init__(self, model, window_ms: float = 4.0, max_batch: int = 8) -> None:
+        self.model = model
+        self.window = window_ms / 1000.0
+        self.max_batch = max_batch
+        self._pending: list = []
+        self._flusher: Optional[asyncio.Task] = None
+        self._busy: Optional[asyncio.Lock] = None  # created on first use
+        self.dispatches = 0  # batched device calls (observability/tests)
+
+    async def acomplete(self, prompt: str) -> CompletionResponse:
+        loop = asyncio.get_event_loop()
+        fut: asyncio.Future = loop.create_future()
+        self._pending.append((prompt, fut))
+        if self._busy is None:
+            self._busy = asyncio.Lock()
+        # (a pending window-flusher is left alone even when this flush
+        # supersedes it — it may be mid-dispatch, and an empty follow-up
+        # flush is a no-op; cancelling could orphan in-flight waiters)
+        if len(self._pending) >= self.max_batch:
+            await self._flush()
+        elif self._flusher is None or self._flusher.done():
+            self._flusher = asyncio.ensure_future(self._delayed_flush())
+        return await fut
+
+    async def _delayed_flush(self) -> None:
+        await asyncio.sleep(self.window)
+        await self._flush()
+
+    async def _flush(self) -> None:
+        # serialize on the chip: waiting here (rather than dispatching a
+        # second batch mid-decode) lets arrivals pile into a fuller batch
+        async with self._busy:
+            batch, self._pending = (
+                self._pending[: self.max_batch],
+                self._pending[self.max_batch :],
+            )
+            if not batch:
+                return
+            prompts = [p for p, _ in batch]
+            try:
+                self.dispatches += 1
+                if hasattr(self.model, "generate_batch"):
+                    texts = await asyncio.to_thread(
+                        self.model.generate_batch, prompts
+                    )
+                else:  # per-item fallback (e.g. the torch LocalHFLLM)
+                    texts = await asyncio.to_thread(
+                        lambda: [self.model.generate(p) for p in prompts]
+                    )
+                for (_, fut), text in zip(batch, texts):
+                    if not fut.done():
+                        fut.set_result(CompletionResponse(text=text))
+            except Exception as e:  # noqa: BLE001 — fail all waiters
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+        if self._pending and (self._flusher is None or self._flusher.done()):
+            # backlog left by the max_batch cut: hand it to a fresh flusher
+            # instead of draining inline (the waiter that triggered this
+            # flush must not block on later batches)
+            self._flusher = asyncio.ensure_future(self._delayed_flush())
+
+    def complete(self, prompt: str) -> CompletionResponse:
+        return asyncio.get_event_loop().run_until_complete(self.acomplete(prompt))
+
+
 async def generation(llm, fmt_qa_prompt: str, max_retries: int = 10) -> CompletionResponse:
     """Retry any exception up to ``max_retries`` times, then degrade to the
     literal answer "无法确定" (``rag.py:26-39``)."""

@@ -91,8 +91,21 @@ class EasyRAGPipeline:
         self.hyde_merging = cfg.hyde_merging
 
         # LLM (lazy network client; only required when generation is used)
+        self.local_llm = None
         if llm is not None:
             self.llm = llm
+        elif cfg.local_llm_name and cfg.tpu.local_llm_answer:
+            # on-chip answer generation (TPU extension): the local decoder
+            # replaces the GLM-4 network client — zero network calls in the
+            # request path; concurrent requests batch into shared decodes
+            from .generation import BatchingLocalLLM
+
+            self.local_llm = self._make_local_llm(cfg)
+            self.llm = BatchingLocalLLM(
+                self.local_llm,
+                window_ms=cfg.serve_window_ms,
+                max_batch=cfg.tpu.local_llm_gen_batch,
+            )
         elif cfg.llm_keys:
             self.llm = OpenAICompatLLM(
                 api_keys=cfg.llm_keys, model=cfg.llm_name, api_base=cfg.llm_api_base
@@ -307,19 +320,10 @@ class EasyRAGPipeline:
             )
 
         # local LLM (reference pipeline.py:264-279; generation backend per
-        # tpu.local_llm_backend — "jax" is the TPU decode path)
-        self.local_llm = None
-        if cfg.local_llm_name:
-            if cfg.tpu.local_llm_backend == "jax":
-                from .models.decode import JaxCausalLM
-
-                self.local_llm = JaxCausalLM(
-                    cfg.local_llm_name, quant=cfg.tpu.local_llm_quant
-                )
-            else:
-                from .generation import LocalHFLLM
-
-                self.local_llm = LocalHFLLM(cfg.local_llm_name)
+        # tpu.local_llm_backend — "jax" is the TPU decode path). Already
+        # built above when it doubles as the answer LLM.
+        if cfg.local_llm_name and self.local_llm is None:
+            self.local_llm = self._make_local_llm(cfg)
 
         # compressor (constructed but not invoked in run(), matching the
         # reference's current behavior — SURVEY.md §2 compressor note)
@@ -443,6 +447,24 @@ class EasyRAGPipeline:
             inner, embed_type=self.llm_embed_type, nodes=self.nodes,
             nodeid2idx=self.nodeid2idx,
         )
+
+    @staticmethod
+    def _make_local_llm(cfg):
+        """Local generation backend per ``tpu.local_llm_backend``
+        (reference ``pipeline.py:264-279``; "jax" is the TPU decode path,
+        models/decode.py)."""
+        if cfg.tpu.local_llm_backend == "jax":
+            from .models.decode import JaxCausalLM
+
+            return JaxCausalLM(
+                cfg.local_llm_name,
+                quant=cfg.tpu.local_llm_quant,
+                max_new_tokens=cfg.tpu.local_llm_max_new or None,
+                max_batch=cfg.tpu.local_llm_gen_batch,
+            )
+        from .generation import LocalHFLLM
+
+        return LocalHFLLM(cfg.local_llm_name)
 
     def local_llm_generate(self, query: str) -> str:
         """Local-model generation (reference ``pipeline.py:320-321``) —

@@ -101,6 +101,21 @@ def create_app(pipeline: EasyRAGPipeline):
         )
         pipeline.rerank_in_thread = True
 
+    # boot-time generation warmup (tpu.local_llm_warmup): pre-compile the
+    # decode executables for the top two prompt buckets at every pow2 batch
+    # size the coalescer can produce — cold 7B compiles cost tens of
+    # seconds each on a remote attachment and otherwise land on the first
+    # unlucky requests (measured as the p99 spike in tools/bench_serving.py)
+    local = getattr(pipeline, "local_llm", None)
+    if (
+        getattr(getattr(cfg, "tpu", None), "local_llm_warmup", False)
+        and local is not None
+        and hasattr(local, "warmup")
+    ):
+        gen_batch = getattr(cfg.tpu, "local_llm_gen_batch", 8)
+        sizes = [b for b in (1, 2, 4, 8, 16, 32) if b <= gen_batch] or [1]
+        local.warmup(buckets=local.buckets[-2:], batch_sizes=sizes)
+
     @routes.get("/test")
     async def test(_request):
         return web.json_response("hello rag")

@@ -75,6 +75,16 @@ def main():
     # lesson as tools/bench_pipeline.py::make_embedder_params_int8)
     def build(key):
         p = init_params(cfg, key)
+        # untied head, the Qwen2-7B-Instruct layout; quantized like the
+        # loader does (the decode step reads the whole [V, D] table)
+        head = jax.random.normal(
+            jax.random.fold_in(key, 7), (cfg.vocab_size, cfg.hidden_size),
+            cfg.dtype,
+        ) * 0.02
+        p["lm_head"] = (
+            quantize_linear_int8_device(head)
+            if args.quant in ("int8", "w8a8") else {"w": head}
+        )
         if args.quant in ("int8", "w8a8"):
             for layer in p["layers"]:
                 for group in ("attn", "mlp"):

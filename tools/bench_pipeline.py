@@ -102,26 +102,69 @@ class LocalGenLLM:
         return await asyncio.to_thread(self._complete, prompt)
 
     def _complete(self, prompt: str):
+        from easyrag_tpu.generation import CompletionResponse
+
+        return CompletionResponse(text=self.generate_batch([prompt])[0])
+
+    def generate_batch(self, prompts):
+        """Batched decode, same grouping scheme as JaxCausalLM.generate_batch
+        (bucket groups, batch dim padded to a pow2 with active-masked dummy
+        rows) — lets the serving bench drive generation.BatchingLocalLLM's
+        cross-request coalescing at true 7B scale."""
         import jax.numpy as jnp
 
-        from easyrag_tpu.generation import CompletionResponse
         from easyrag_tpu.models.decode import generate_greedy
 
-        ids = [(hash(c) % (self.cfg.vocab_size - 2)) + 2 for c in prompt]
-        ids = ids[-self.buckets[-1]:]
-        bucket = next(b for b in self.buckets if len(ids) <= b)
-        self.prompt_tokens = len(ids)
-        pad = bucket - len(ids)
-        out = generate_greedy(
-            self.cfg,
-            self.params,
-            jnp.asarray([[0] * pad + ids], jnp.int32),
-            jnp.asarray([[0] * pad + [1] * len(ids)], jnp.int32),
-            jnp.asarray([-1], jnp.int32),  # sentinel: all max_new steps run
-            self.max_new,
-        )
-        int(out.sum())  # device->host scalar readback barrier
-        return CompletionResponse(text=f"[{self.max_new} tokens decoded on-chip]")
+        encs, groups = [], {}
+        for i, prompt in enumerate(prompts):
+            ids = [(hash(c) % (self.cfg.vocab_size - 2)) + 2 for c in prompt]
+            ids = ids[-self.buckets[-1]:]
+            encs.append(ids)
+            bucket = next(b for b in self.buckets if len(ids) <= b)
+            groups.setdefault(bucket, []).append(i)
+        self.prompt_tokens = len(encs[-1])
+        for bucket, idxs in groups.items():
+            b = 1 << (len(idxs) - 1).bit_length()
+            rows = [[0] * (bucket - len(encs[i])) + encs[i] for i in idxs]
+            masks = [
+                [0] * (bucket - len(encs[i])) + [1] * len(encs[i]) for i in idxs
+            ]
+            rows += [[0] * bucket] * (b - len(idxs))
+            masks += [[0] * (bucket - 1) + [1]] * (b - len(idxs))
+            out = generate_greedy(
+                self.cfg,
+                self.params,
+                jnp.asarray(rows, jnp.int32),
+                jnp.asarray(masks, jnp.int32),
+                jnp.asarray([-1], jnp.int32),  # sentinel: all steps run
+                self.max_new,
+                limit=jnp.int32(self.max_new),
+                active=jnp.arange(b) < len(idxs),
+            )
+            int(out.sum())  # device->host scalar readback barrier
+        return [f"[{self.max_new} tokens decoded on-chip]"] * len(prompts)
+
+    def warmup(self, batch_sizes=(1,)):
+        """Pre-compile the largest-bucket executables (limit=1: full-length
+        static shapes, one decode step) — the tpu.local_llm_warmup boot
+        behavior at bench scale."""
+        import jax.numpy as jnp
+
+        from easyrag_tpu.models.decode import generate_greedy
+
+        bucket = self.buckets[-1]
+        for b in batch_sizes:
+            out = generate_greedy(
+                self.cfg,
+                self.params,
+                jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
+                jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
+                jnp.asarray([-1], jnp.int32),
+                self.max_new,
+                limit=jnp.int32(1),
+                active=jnp.arange(b) < b,
+            )
+            int(out.sum())
 
 
 def make_local_llm(max_new: int, tiny: bool = False):

@@ -91,6 +91,15 @@ def main():
                     help="REAL on-chip generation per request (7B int8 "
                          "KV-cache decode of MAX_NEW tokens) instead of "
                          "the stub")
+    ap.add_argument("--gen-batch", type=int, default=0, metavar="B",
+                    help="coalesce concurrent generations into batched "
+                         "decodes (generation.BatchingLocalLLM, max B "
+                         "rows; decode is weight-bandwidth-bound so rows "
+                         "are ~free). 0 = per-request B=1 decode")
+    ap.add_argument("--gen-warmup", action="store_true",
+                    help="pre-compile the generation executables before "
+                         "the timed window (the tpu.local_llm_warmup boot "
+                         "behavior; isolates steady-state from compiles)")
     args = ap.parse_args()
 
     from easyrag_tpu.serving.api import create_app
@@ -111,7 +120,23 @@ def main():
     if args.local_llm:
         from bench_pipeline import make_local_llm
 
-        ns.pipeline.llm = make_local_llm(args.local_llm, tiny=args.tiny)
+        gen = make_local_llm(args.local_llm, tiny=args.tiny)
+        if args.gen_batch:
+            from easyrag_tpu.generation import BatchingLocalLLM
+
+            ns.pipeline.llm = BatchingLocalLLM(
+                gen,
+                window_ms=ns.pipeline.config.serve_window_ms,
+                max_batch=args.gen_batch,
+            )
+        else:
+            ns.pipeline.llm = gen
+        if args.gen_warmup:
+            sizes = [b for b in (1, 2, 4, 8) if b <= max(args.gen_batch, 1)]
+            t0 = time.perf_counter()
+            gen.warmup(batch_sizes=sizes)
+            print(f"gen warmup (B={sizes}): {time.perf_counter() - t0:.1f} s",
+                  file=sys.stderr)
 
     ns.pipeline.config.serve_coalesce_rerank = not args.no_coalesce
     app = create_app(ns.pipeline)
@@ -128,6 +153,7 @@ def main():
         )
         + ("+carry" if args.cascade and args.cascade_carry else "")
         + (f"+gen{args.local_llm}" if args.local_llm else "")
+        + (f"+genbatch{args.gen_batch}" if args.gen_batch else "")
         + ("+coalesce" if coalesced else ""),
         "concurrency": args.concurrency,
         "requests": args.requests,
