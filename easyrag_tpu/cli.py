@@ -26,6 +26,7 @@ from typing import Any, Dict, List
 
 from .config import load_config
 from .eval import keyword_accuracy, read_jsonl, save_answers, write_jsonl
+from .utils import run_sync
 from .pipeline import EasyRAGPipeline
 
 
@@ -139,7 +140,7 @@ def main() -> None:
         "--no-save-inter", action="store_false", dest="save_inter", default=True
     )
     args = parser.parse_args()
-    asyncio.get_event_loop().run_until_complete(run_batch(args))
+    run_sync(run_batch(args))
 
 
 if __name__ == "__main__":

@@ -82,6 +82,18 @@ class TPUConfig:
     # (row, token slot) at 7B scale, so 8 rows at the 7680 bucket is
     # ~3.5 GB of transient HBM
     local_llm_gen_batch: int = 8
+    # continuous batching (models/decode_pool.py): requests JOIN a running
+    # decode at chunk boundaries instead of fusing only when they arrive
+    # within a window — the fix for staggered arrivals (BASELINE.md's
+    # gen-batch-neutral-at-c=4 measurement). Pool size = gen_batch; needs
+    # local_llm_max_new set (static per-row output buffer) and the jax
+    # backend. The pool's KV state is persistent HBM:
+    # gen_batch × (largest bucket + max_new) slots
+    local_llm_continuous: bool = False
+    # decode steps per pool dispatch: join granularity is chunk_steps ×
+    # ~10 ms against one ~30 ms host round trip per chunk on a remote
+    # attachment (32 → ~0.3 s joins at ~10% dispatch overhead)
+    local_llm_chunk_steps: int = 32
     # pre-compile the generation executables at boot (serving: kills the
     # tens-of-seconds cold-compile p99 spike on first-seen prompt buckets;
     # warms the top two length buckets at batch sizes 1..gen_batch)

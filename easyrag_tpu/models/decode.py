@@ -156,11 +156,40 @@ def _prefill_layer(
     return x + h * r, cache
 
 
+def _cache_write(
+    cache: Dict[str, jnp.ndarray],
+    k: jnp.ndarray,  # [B, 1, nkv, hd]
+    v: jnp.ndarray,
+    pos: jnp.ndarray,  # scalar OR [B] int32
+    dtype,
+) -> Dict[str, jnp.ndarray]:
+    """Write one decode step's K/V into the cache.
+
+    ``pos`` scalar: every row writes the same slot (``generate_greedy``'s
+    uniform left-padded layout — one ``dynamic_update_slice``). ``pos``
+    [B]: per-row slots (the continuous-batching decode pool, where rows
+    joined at different prompt lengths sit at different progress) — one
+    batched scatter, negligible next to the weight reads decode is bound
+    by."""
+    k = k.astype(dtype)
+    v = v.astype(dtype)
+    if jnp.ndim(pos) == 0:
+        return {
+            "k": jax.lax.dynamic_update_slice(cache["k"], k, (0, pos, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(cache["v"], v, (0, pos, 0, 0)),
+        }
+    idx = jnp.arange(k.shape[0])
+    return {
+        "k": cache["k"].at[idx, pos].set(k[:, 0]),
+        "v": cache["v"].at[idx, pos].set(v[:, 0]),
+    }
+
+
 def _decode_layer(
     cfg: DecoderConfig,
     p: Dict[str, Any],
     x: jnp.ndarray,  # [B, 1, D]
-    pos: jnp.ndarray,  # scalar int32: cache slot being written
+    pos: jnp.ndarray,  # int32 cache slot(s) being written: scalar or [B]
     kv_mask: jnp.ndarray,  # [B, T] validity of cache slots (incl. this one)
     cos: jnp.ndarray,  # [B, 1, hd]
     sin: jnp.ndarray,
@@ -171,10 +200,7 @@ def _decode_layer(
     q, k, v = _qkv(cfg, p["attn"], h)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    cache = {
-        "k": jax.lax.dynamic_update_slice(cache["k"], k.astype(cfg.dtype), (0, pos, 0, 0)),
-        "v": jax.lax.dynamic_update_slice(cache["v"], v.astype(cfg.dtype), (0, pos, 0, 0)),
-    }
+    cache = _cache_write(cache, k, v, pos, cfg.dtype)
     b = x.shape[0]
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
     g = nh // nkv

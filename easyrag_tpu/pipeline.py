@@ -98,14 +98,26 @@ class EasyRAGPipeline:
             # on-chip answer generation (TPU extension): the local decoder
             # replaces the GLM-4 network client — zero network calls in the
             # request path; concurrent requests batch into shared decodes
-            from .generation import BatchingLocalLLM
+            from .generation import BatchingLocalLLM, ContinuousBatchingLocalLLM
 
             self.local_llm = self._make_local_llm(cfg)
-            self.llm = BatchingLocalLLM(
-                self.local_llm,
-                window_ms=cfg.serve_window_ms,
-                max_batch=cfg.tpu.local_llm_gen_batch,
-            )
+            if cfg.tpu.local_llm_continuous:
+                if cfg.tpu.local_llm_backend != "jax" or not cfg.tpu.local_llm_max_new:
+                    raise ValueError(
+                        "tpu.local_llm_continuous needs local_llm_backend=jax "
+                        "and local_llm_max_new set (static pool shapes)"
+                    )
+                self.llm = ContinuousBatchingLocalLLM(
+                    self.local_llm,
+                    pool_size=cfg.tpu.local_llm_gen_batch,
+                    chunk_steps=cfg.tpu.local_llm_chunk_steps,
+                )
+            else:
+                self.llm = BatchingLocalLLM(
+                    self.local_llm,
+                    window_ms=cfg.serve_window_ms,
+                    max_batch=cfg.tpu.local_llm_gen_batch,
+                )
         elif cfg.llm_keys:
             self.llm = OpenAICompatLLM(
                 api_keys=cfg.llm_keys, model=cfg.llm_name, api_base=cfg.llm_api_base

@@ -33,6 +33,7 @@ from .index.dense import DenseIndex
 from .index.sparse import SparseIndex, build_sparse_index
 from .ops.bm25 import bm25_score_topk
 from .schema import NodeWithScore, QueryBundle, TextNode
+from .utils import run_sync
 
 
 class BM25Retriever:
@@ -456,4 +457,4 @@ class HybridRetriever:
     def retrieve(self, query_bundle: QueryBundle) -> List[NodeWithScore]:
         import asyncio
 
-        return asyncio.get_event_loop().run_until_complete(self.aretrieve(query_bundle))
+        return run_sync(self.aretrieve(query_bundle))

@@ -42,7 +42,7 @@ class RetrievalBatcher:
         self._flusher: Optional[asyncio.Task] = None
 
     async def run(self, query: dict) -> dict:
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         self._pending.append((query, fut))
         if len(self._pending) >= self.max_batch:
@@ -114,7 +114,15 @@ def create_app(pipeline: EasyRAGPipeline):
     ):
         gen_batch = getattr(cfg.tpu, "local_llm_gen_batch", 8)
         sizes = [b for b in (1, 2, 4, 8, 16, 32) if b <= gen_batch] or [1]
-        local.warmup(buckets=local.buckets[-2:], batch_sizes=sizes)
+        # continuous batching compiles its own executables (one chunk +
+        # per-bucket prefill/insert) — warm the pool, not generate_greedy
+        wrapper = getattr(pipeline, "llm", None)
+        if getattr(cfg.tpu, "local_llm_continuous", False) and hasattr(
+            wrapper, "pool"
+        ):
+            wrapper.warmup(buckets=local.buckets[-2:])
+        else:
+            local.warmup(buckets=local.buckets[-2:], batch_sizes=sizes)
 
     @routes.get("/test")
     async def test(_request):

@@ -9,6 +9,7 @@ from easyrag_tpu.config import EasyRAGConfig, TPUConfig
 from easyrag_tpu.index.artifact import CorpusArtifact, load_nodes, save_nodes
 from easyrag_tpu.pipeline import EasyRAGPipeline
 from easyrag_tpu.schema import NodeRelationship, TextNode
+from easyrag_tpu.utils import run_sync
 
 
 def test_nodes_jsonl_roundtrip(tmp_path):
@@ -79,8 +80,8 @@ def test_pipeline_artifact_fast_boot(tmp_path):
     off()
     assert "artifact" in events and "ingestion" not in events
     q = {"query": "CDU扩容个数"}
-    r1 = asyncio.get_event_loop().run_until_complete(p1.run(dict(q)))
-    r2 = asyncio.get_event_loop().run_until_complete(p2.run(dict(q)))
+    r1 = run_sync(p1.run(dict(q)))
+    r2 = run_sync(p2.run(dict(q)))
     assert r1["contexts"] == r2["contexts"]
     assert r1["contexts"]  # non-empty
 
@@ -90,7 +91,7 @@ def test_pipeline_artifact_fast_boot(tmp_path):
 
     os.remove(os.path.join(cfg.data_path, "director", "a.txt"))
     p3 = EasyRAGPipeline(cfg)
-    r3 = asyncio.get_event_loop().run_until_complete(p3.run(dict(q)))
+    r3 = run_sync(p3.run(dict(q)))
     assert all("CDU" not in c for c in r3["contexts"])
 
     # changing a fingerprint knob also invalidates

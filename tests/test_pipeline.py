@@ -12,6 +12,7 @@ from easyrag_tpu.config import EasyRAGConfig, TPUConfig
 from easyrag_tpu.pipeline import EasyRAGPipeline
 from easyrag_tpu.retrievers import HybridRetriever
 from easyrag_tpu.schema import NodeWithScore, TextNode
+from easyrag_tpu.utils import run_sync
 
 
 def _make_corpus(tmp_path):
@@ -61,7 +62,7 @@ def _config(tmp_path, **kw):
 
 
 def _run(pipeline, query):
-    return asyncio.get_event_loop().run_until_complete(pipeline.run(query))
+    return run_sync(pipeline.run(query))
 
 
 def test_sparse_re_only_end_to_end(tmp_path):
@@ -287,7 +288,7 @@ def test_generation_retry_gives_up():
             FailingLLM.calls += 1
             raise RuntimeError("boom")
 
-    res = asyncio.get_event_loop().run_until_complete(
+    res = run_sync(
         generation(FailingLLM(), "prompt")
     )
     assert res.text == "无法确定"
@@ -355,7 +356,7 @@ def test_retrieval_batch_matches_per_query(tmp_path):
     # >64 rows so the dual-route STREAM path (scan + tail padding) runs
     queries = [dict(base[i % len(base)]) for i in range(67)]
     assert pipeline._dual_scorer is not None
-    batched = asyncio.get_event_loop().run_until_complete(
+    batched = run_sync(
         pipeline.run_retrieval_batch([dict(q) for q in queries])
     )
     singles = [_run(pipeline, dict(q)) for q in queries]
@@ -389,7 +390,7 @@ def test_fusion_retrieval_batch_matches_per_query(tmp_path):
     ]
     # >64 rows so the dense stream's scan + tail padding path runs
     queries = [dict(base[i % len(base)]) for i in range(67)]
-    batched = asyncio.get_event_loop().run_until_complete(
+    batched = run_sync(
         pipeline.run_retrieval_batch([dict(q) for q in queries])
     )
     singles = [_run(pipeline, dict(q)) for q in queries]
@@ -449,7 +450,7 @@ def test_api_contract(tmp_path):
         finally:
             await client.close()
 
-    asyncio.get_event_loop().run_until_complete(drive())
+    run_sync(drive())
 
 
 def test_webui_client_against_live_api(tmp_path):
@@ -470,7 +471,7 @@ def test_webui_client_against_live_api(tmp_path):
         site = web.TCPSite(runner, "127.0.0.1", 0)
         await site.start()
         port = site._server.sockets[0].getsockname()[1]
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         try:
             res = await loop.run_in_executor(
                 None,
@@ -485,7 +486,7 @@ def test_webui_client_against_live_api(tmp_path):
         finally:
             await runner.cleanup()
 
-    asyncio.get_event_loop().run_until_complete(drive())
+    run_sync(drive())
 
 
 def test_fast_fusion_matches_reference(tmp_path):

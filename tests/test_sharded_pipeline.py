@@ -16,6 +16,7 @@ import pytest
 
 from easyrag_tpu.config import EasyRAGConfig, TPUConfig
 from easyrag_tpu.pipeline import EasyRAGPipeline
+from easyrag_tpu.utils import run_sync
 
 from test_pipeline import FakeEmbedder, _config, _make_corpus, _run
 
@@ -77,10 +78,10 @@ def test_sharded_sparse_batch_matches_single_chip(tmp_path):
     ]
     # >64 rows so the sharded stream path (scan + tail padding) runs
     queries = [dict(base[i % len(base)]) for i in range(67)]
-    bs = asyncio.get_event_loop().run_until_complete(
+    bs = run_sync(
         sharded.run_retrieval_batch([dict(q) for q in queries])
     )
-    b1 = asyncio.get_event_loop().run_until_complete(
+    b1 = run_sync(
         single.run_retrieval_batch([dict(q) for q in queries])
     )
     for s, o in zip(bs, b1):
@@ -128,10 +129,10 @@ def test_sharded_dense_pipeline_matches_single_chip(tmp_path):
         r1 = _run(single, dict(q))
         assert rs["contexts"] == r1["contexts"]
     # batched form too (dense query_stream over the mesh)
-    bs = asyncio.get_event_loop().run_until_complete(
+    bs = run_sync(
         sharded.run_retrieval_batch([dict(q) for q in queries])
     )
-    b1 = asyncio.get_event_loop().run_until_complete(
+    b1 = run_sync(
         single.run_retrieval_batch([dict(q) for q in queries])
     )
     for s, o in zip(bs, b1):

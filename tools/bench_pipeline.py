@@ -93,6 +93,23 @@ class LocalGenLLM:
         self.max_new = max_new
         self.buckets = buckets
         self.prompt_tokens = 0  # last call, for reporting
+        # the DecodePool surface (models/decode_pool.py), so the serving
+        # bench can drive continuous batching at true scale
+        self.max_new_tokens = max_new
+        self.eos_ids = [-1]  # sentinel: never fires, every row pays max_new
+
+        class _Tok:
+            pad_token_id = 0
+
+        self.tokenizer = _Tok()
+
+    def _encode(self, prompt: str):
+        ids = [(hash(c) % (self.cfg.vocab_size - 2)) + 2 for c in prompt]
+        self.prompt_tokens = len(ids[-self.buckets[-1]:])
+        return ids[-self.buckets[-1]:]
+
+    def _decode_row(self, toks):
+        return f"[{self.max_new} tokens decoded on-chip]"
 
     async def acomplete(self, prompt: str):
         import asyncio
@@ -117,12 +134,10 @@ class LocalGenLLM:
 
         encs, groups = [], {}
         for i, prompt in enumerate(prompts):
-            ids = [(hash(c) % (self.cfg.vocab_size - 2)) + 2 for c in prompt]
-            ids = ids[-self.buckets[-1]:]
+            ids = self._encode(prompt)
             encs.append(ids)
             bucket = next(b for b in self.buckets if len(ids) <= b)
             groups.setdefault(bucket, []).append(i)
-        self.prompt_tokens = len(encs[-1])
         for bucket, idxs in groups.items():
             b = 1 << (len(idxs) - 1).bit_length()
             rows = [[0] * (bucket - len(encs[i])) + encs[i] for i in idxs]
@@ -674,7 +689,11 @@ def main():
         "pipeline_p50_ms_exit12": round(p50_exit * 1000, 1) if p50_exit else None,
         "pipeline_p50_ms_exit_declined": round(p50_noexit * 1000, 1) if p50_noexit else None,
         "pipeline_p50_ms_cascade": round(p50_cascade * 1000, 1) if p50_cascade else None,
-        "pipeline_p50_ms_with_generation": round(p50_gen * 1000, 1) if p50_gen else None,
+        # needs --local-llm (plus --skip-embedder: the 7B LLM and the 7B
+        # embedder don't co-fit one 16 GB chip); measured 5.42 s in
+        # BASELINE.md's on-chip generation section
+        "pipeline_p50_ms_with_generation": round(p50_gen * 1000, 1) if p50_gen
+        else "not run (needs --local-llm --skip-embedder; see BASELINE.md)",
         "retrieval_only_qps_coresident": round(retr_qps, 1),
         "dense_route_incl_embed_qps": round(dense_route, 1) if dense_route else None,
         "hbm_bytes_in_use": used,

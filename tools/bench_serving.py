@@ -96,6 +96,11 @@ def main():
                          "decodes (generation.BatchingLocalLLM, max B "
                          "rows; decode is weight-bandwidth-bound so rows "
                          "are ~free). 0 = per-request B=1 decode")
+    ap.add_argument("--gen-continuous", type=int, default=0, metavar="B",
+                    help="continuous batching: a B-slot decode pool that "
+                         "concurrent requests JOIN at chunk boundaries "
+                         "(generation.ContinuousBatchingLocalLLM) — the "
+                         "staggered-arrival fix gen-batch can't provide")
     ap.add_argument("--gen-warmup", action="store_true",
                     help="pre-compile the generation executables before "
                          "the timed window (the tpu.local_llm_warmup boot "
@@ -121,7 +126,13 @@ def main():
         from bench_pipeline import make_local_llm
 
         gen = make_local_llm(args.local_llm, tiny=args.tiny)
-        if args.gen_batch:
+        if args.gen_continuous:
+            from easyrag_tpu.generation import ContinuousBatchingLocalLLM
+
+            ns.pipeline.llm = ContinuousBatchingLocalLLM(
+                gen, pool_size=args.gen_continuous
+            )
+        elif args.gen_batch:
             from easyrag_tpu.generation import BatchingLocalLLM
 
             ns.pipeline.llm = BatchingLocalLLM(
@@ -132,9 +143,15 @@ def main():
         else:
             ns.pipeline.llm = gen
         if args.gen_warmup:
-            sizes = [b for b in (1, 2, 4, 8) if b <= max(args.gen_batch, 1)]
             t0 = time.perf_counter()
-            gen.warmup(batch_sizes=sizes)
+            if args.gen_continuous:
+                # one chunk executable + (prefill, insert) for the top two
+                # buckets — the pool has no (bucket × batch-size) zoo
+                ns.pipeline.llm.warmup(buckets=gen.buckets[-2:])
+                sizes = "pool"
+            else:
+                sizes = [b for b in (1, 2, 4, 8) if b <= max(args.gen_batch, 1)]
+                gen.warmup(batch_sizes=sizes)
             print(f"gen warmup (B={sizes}): {time.perf_counter() - t0:.1f} s",
                   file=sys.stderr)
 
@@ -153,7 +170,8 @@ def main():
         )
         + ("+carry" if args.cascade and args.cascade_carry else "")
         + (f"+gen{args.local_llm}" if args.local_llm else "")
-        + (f"+genbatch{args.gen_batch}" if args.gen_batch else "")
+        + (f"+gencont{args.gen_continuous}" if args.gen_continuous
+           else f"+genbatch{args.gen_batch}" if args.gen_batch else "")
         + ("+coalesce" if coalesced else ""),
         "concurrency": args.concurrency,
         "requests": args.requests,
