@@ -98,6 +98,15 @@ class TPUConfig:
     # tens-of-seconds cold-compile p99 spike on first-seen prompt buckets;
     # warms the top two length buckets at batch sizes 1..gen_batch)
     local_llm_warmup: bool = False
+    # prompt-lookup speculative decoding (models/decode.py::
+    # generate_greedy_spec): each decode step verifies this many tokens
+    # drafted from the sequence's own earlier n-gram continuations in ONE
+    # forward — decode is weight-bandwidth-bound, so accepted drafts are
+    # nearly free. Exact-greedy (bit-identical outputs); pays most for RAG
+    # answers that copy spans from the retrieved context. 0 = off
+    local_llm_spec: int = 0
+    # trailing n-gram length the draft lookup matches on
+    local_llm_spec_ngram: int = 2
     # shard the retrieval indexes (sparse postings + dense matrix) over the
     # mesh "data" axis: per-shard scoring + local top-k + all-gather merge
     # (parallel/sharded.py). Requires mesh_shape with a "data" axis > 1;

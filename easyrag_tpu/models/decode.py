@@ -356,6 +356,236 @@ def generate_greedy(
     return out
 
 
+def _verify_layer(
+    cfg: DecoderConfig,
+    p: Dict[str, Any],
+    x: jnp.ndarray,  # [B, Q, D] — the draft block (Q = draft_len + 1)
+    slots: jnp.ndarray,  # [B, Q] int32 cache slots these tokens occupy
+    allowed: jnp.ndarray,  # [B, Q, T] bool attention visibility
+    cos: jnp.ndarray,  # [B, Q, hd]
+    sin: jnp.ndarray,
+    cache: Dict[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One decoder layer over a speculative verify block.
+
+    Like :func:`_decode_layer` but with Q>1 query positions that are causal
+    among themselves (the ``allowed`` mask encodes both the cache validity
+    and the intra-block causal triangle). K/V for ALL Q positions are
+    scattered into the cache up front; rejected suffix slots are simply
+    never marked valid and get overwritten by the next block.
+    """
+    r = cfg.residual_scale
+    h = rms_norm(x, p["input_norm"], cfg.rms_norm_eps, cfg.gemma)
+    q, k, v = _qkv(cfg, p["attn"], h)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    b_idx = jnp.arange(x.shape[0])[:, None]
+    cache = {
+        "k": cache["k"].at[b_idx, slots].set(k.astype(cfg.dtype), mode="drop"),
+        "v": cache["v"].at[b_idx, slots].set(v.astype(cfg.dtype), mode="drop"),
+    }
+    b, qn = x.shape[0], x.shape[1]
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+    g = nh // nkv
+    qg = q.reshape(b, qn, nkv, g, hd)
+    logits = (
+        jnp.einsum(
+            "bqkgd,btkd->bkgqt", qg, cache["k"],
+            preferred_element_type=jnp.float32,
+        )
+        * _attn_scale(cfg)
+    )
+    if cfg.attn_logit_softcapping:
+        cap = cfg.attn_logit_softcapping
+        logits = jnp.tanh(logits / cap) * cap
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(allowed[:, None, None, :, :], logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    out = (
+        jnp.einsum("bkgqt,btkd->bqkgd", probs, cache["v"])
+        .reshape(b, qn, nh * hd)
+    )
+    h = _linear(out, p["attn"]["o"], cfg.act_quant)
+    if cfg.gemma:
+        h = rms_norm(h, p["post_attn_norm"], cfg.rms_norm_eps, cfg.gemma)
+        x = x + h
+        h = rms_norm(x, p["pre_mlp_norm"], cfg.rms_norm_eps, cfg.gemma)
+        h = mlp(cfg, p["mlp"], h)
+        h = rms_norm(h, p["post_mlp_norm"], cfg.rms_norm_eps, cfg.gemma)
+        return x + h, cache
+    x = x + h * r
+    h = rms_norm(x, p["post_norm"], cfg.rms_norm_eps)
+    h = mlp(cfg, p["mlp"], h)
+    return x + h * r, cache
+
+
+def _ngram_draft(
+    buf: jnp.ndarray,  # [B, L] token history (prompt left-padded + emitted)
+    start: jnp.ndarray,  # [B] first valid buf index (s - prompt_len)
+    end: jnp.ndarray,  # [B] one past the last valid index (s + n)
+    ngram: int,
+    draft_len: int,
+) -> jnp.ndarray:
+    """Prompt-lookup drafts: copy the ``draft_len`` tokens that followed the
+    most recent earlier occurrence of the sequence's trailing ``ngram``.
+
+    The valid region of ``buf`` is one contiguous range per row (left-padded
+    prompt abuts the emitted suffix), so window validity is pure index
+    arithmetic — no mask materialization. Rows with no match draft garbage
+    (clamped gathers); the verify step rejects wrong drafts anyway, so the
+    draft source only affects speed, never output.
+    """
+    b, l = buf.shape
+    rows = jnp.arange(b)[:, None]
+    key = buf[rows, jnp.clip(end[:, None] - ngram + jnp.arange(ngram), 0, l - 1)]
+    pos = jnp.arange(l)[None, :]  # window END index i
+    match = jnp.ones((b, l), bool)
+    for j in range(ngram):
+        shifted = jnp.pad(buf, ((0, 0), (j, 0)))[:, :l]  # buf[:, i - j]
+        match &= shifted == key[:, ngram - 1 - j][:, None]
+    match &= pos - (ngram - 1) >= start[:, None]  # window inside valid range
+    # the whole draft window must be inside the valid region too (also
+    # excludes the trailing key itself): a periodic tail's most recent
+    # match otherwise sits AT the frontier and drafts unwritten fill —
+    # e.g. a period-1 loop would cap acceptance at 1 instead of hitting
+    # the run deeper in
+    match &= pos <= end[:, None] - 1 - draft_len
+    best = jnp.max(jnp.where(match, pos, -1), axis=1)  # [B] (-1 = no match)
+    src = jnp.clip(best[:, None] + 1 + jnp.arange(draft_len), 0, l - 1)
+    return buf[rows, src]  # [B, draft_len]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "max_new_tokens", "draft_len", "ngram")
+)
+def generate_greedy_spec(
+    cfg: DecoderConfig,
+    params: Dict[str, Any],
+    input_ids: jnp.ndarray,  # [B, S] LEFT-padded int32
+    attention_mask: jnp.ndarray,  # [B, S] int32
+    eos_ids: jnp.ndarray,  # [E] int32
+    max_new_tokens: int,
+    draft_len: int = 7,
+    ngram: int = 2,
+    limit: Optional[jnp.ndarray] = None,
+    active: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Greedy decode with prompt-lookup speculative verification.
+
+    Bit-identical outputs to :func:`generate_greedy` (greedy acceptance is
+    exact: a draft token is kept only when it equals the model's own argmax
+    at that position), but each ``while_loop`` iteration verifies a block of
+    ``draft_len`` drafted tokens in ONE forward over ``draft_len + 1``
+    positions. Decode is weight-bandwidth-bound (BASELINE.md: every step
+    re-reads the whole parameter tree), so the block forward costs about the
+    same as a single-token step — accepted drafts are nearly free tokens.
+
+    Drafts come from the sequence itself (prompt + generated so far): the
+    continuation of the most recent earlier occurrence of the trailing
+    ``ngram``. For RAG the prompt *contains the retrieved context*, and
+    grounded answers largely copy spans from it — the regime prompt-lookup
+    was designed for. No draft model, no extra weights, no training.
+
+    Rows accept different draft counts, so progress is per-row: cache write
+    slots, rope positions, and output offsets all carry a [B] position
+    vector (the same generalization the continuous-batching pool uses).
+    """
+    b, s = input_ids.shape
+    k1 = draft_len + 1
+    t_total = s + max_new_tokens
+    cache = init_cache(cfg, b, t_total)
+    lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+    h_last, cache = _prefill(cfg, params, input_ids, attention_mask, cache)
+    first = jnp.argmax(_lm_logits(cfg, params, h_last), axis=-1).astype(jnp.int32)
+
+    done0 = jnp.zeros((b,), bool) if active is None else ~active
+    first = jnp.where(done0, eos_ids[0], first)
+    step_cap = (
+        jnp.int32(max_new_tokens)
+        if limit is None
+        else jnp.minimum(limit.astype(jnp.int32), max_new_tokens)
+    )
+    # token history: prompt (left-padded) + emitted tokens; `first` is the
+    # 0th emitted token, so n starts at 1 with buf[s] = first
+    buf0 = jnp.concatenate(
+        [input_ids, jnp.full((b, max_new_tokens), eos_ids[0], jnp.int32)], axis=1
+    )
+    buf0 = buf0.at[:, s].set(first)
+    n0 = jnp.ones((b,), jnp.int32)
+    is_eos = lambda t: jnp.any(t[..., None] == eos_ids[None, :], axis=-1)
+    done0 = jnp.logical_or(done0, is_eos(first))
+    done0 = jnp.logical_or(done0, n0 >= step_cap)
+    # kv validity: prompt slots from prefill; emitted tokens' K/V are written
+    # by the verify block that consumes them (`last` rides un-cached)
+    kv_mask0 = jnp.concatenate(
+        [attention_mask.astype(jnp.int32), jnp.zeros((b, max_new_tokens), jnp.int32)],
+        axis=1,
+    )
+    start = s - lengths  # first valid buf index per row
+
+    def cond(carry):
+        _, _, done, _, _ = carry
+        return ~jnp.all(done)
+
+    def body(carry):
+        n, buf, done, kv_mask, cache = carry
+        last = buf[jnp.arange(b), jnp.clip(s + n - 1, 0, t_total - 1)]
+        draft = _ngram_draft(buf, start, s + n, ngram, draft_len)
+        tokens_in = jnp.concatenate([last[:, None], draft], axis=1)  # [B, K+1]
+        cur = s + n - 1  # cache slot of `last` = its sequence index
+        slots = cur[:, None] + jnp.arange(k1)[None, :]
+        rope_pos = (lengths + n - 1)[:, None] + jnp.arange(k1)[None, :]
+        cos, sin = rope_tables(rope_pos, cfg.hd, cfg.rope_theta)
+        # visibility: all valid cache slots + the block's causal triangle
+        t_idx = jnp.arange(t_total)[None, None, :]
+        allowed = (kv_mask[:, None, :] > 0) | (
+            (t_idx >= cur[:, None, None]) & (t_idx <= slots[:, :, None])
+        )
+        h = embed(cfg, params, tokens_in)
+        new_cache: Cache = []
+        for idx in range(cfg.num_hidden_layers):
+            h, c = _verify_layer(
+                cfg, params["layers"][idx], h, slots, allowed, cos, sin,
+                cache[idx],
+            )
+            new_cache.append(c)
+        h = rms_norm(h, params["final_norm"], cfg.rms_norm_eps, cfg.gemma)
+        preds = jnp.argmax(
+            _lm_logits(cfg, params, h), axis=-1
+        ).astype(jnp.int32)  # [B, K+1]; preds[:, j] follows tokens_in[:, :j+1]
+        # greedy acceptance: leading run of draft[j] == preds[j]
+        acc = jnp.sum(
+            jnp.cumprod((draft == preds[:, :-1]).astype(jnp.int32), axis=1),
+            axis=1,
+        )
+        # emitted this iteration: preds[:, :m]; truncate at the first EOS
+        # and at the step cap; done rows emit nothing
+        hit = is_eos(preds)
+        first_eos = jnp.min(
+            jnp.where(hit, jnp.arange(k1)[None, :], k1), axis=1
+        )
+        m = jnp.minimum(jnp.minimum(acc + 1, first_eos + 1), step_cap - n)
+        m = jnp.where(done, 0, m)
+        j_idx = jnp.arange(k1)[None, :]
+        emit = j_idx < m[:, None]
+        dst = jnp.where(emit, (s + n)[:, None] + j_idx, t_total)  # drop OOB
+        buf = buf.at[jnp.arange(b)[:, None], dst].set(preds, mode="drop")
+        # kv validity: the block's slots hold K/V for [last, draft...]; the
+        # accepted prefix of length m covers sequence indices cur..cur+m-1
+        kv_dst = jnp.where(emit, cur[:, None] + j_idx, t_total)
+        kv_mask = kv_mask.at[jnp.arange(b)[:, None], kv_dst].set(1, mode="drop")
+        n = n + m
+        done = done | (m > 0) & (first_eos < m) | (n >= step_cap)
+        return n, buf, done, kv_mask, new_cache
+
+    carry = (n0, buf0, done0, kv_mask0, cache)
+    n, buf, done, kv_mask, cache = jax.lax.while_loop(cond, body, carry)
+    gen = buf[:, s:]
+    return jnp.where(
+        jnp.arange(max_new_tokens)[None, :] < n[:, None], gen, eos_ids[0]
+    )
+
+
 def _pad_left(
     ids: Sequence[int], bucket: int, pad_id: int
 ) -> Tuple[List[int], List[int]]:
@@ -383,6 +613,8 @@ class JaxCausalLM:
         max_new_tokens: Optional[int] = None,
         buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 7680),
         max_batch: int = 8,
+        spec_tokens: int = 0,
+        spec_ngram: int = 2,
     ) -> None:
         import dataclasses
         import json
@@ -432,6 +664,10 @@ class JaxCausalLM:
         # ~56 KB/slot at Qwen2-7B, so B=8 at the 7680 bucket is ~3.5 GB of
         # transient HBM next to the resident tenants
         self.max_batch = max_batch
+        # prompt-lookup speculative decoding (generate_greedy_spec):
+        # spec_tokens drafts verified per step, 0 = plain decode
+        self.spec_tokens = spec_tokens
+        self.spec_ngram = spec_ngram
 
     # -- prompt <-> token plumbing shared by the single and batched paths --
 
@@ -468,6 +704,24 @@ class JaxCausalLM:
         shares one compiled executable per (bucket, B, max_new)."""
         b = len(rows)
         active = jnp.arange(b) < n_real
+        if self.spec_tokens:
+            # warmup's limit=1 would finish before the first verify block
+            # (the prefill token already counts as one emitted); limit=2
+            # compiles the verify executable too
+            if limit is not None:
+                limit = max(limit, 2)
+            return generate_greedy_spec(
+                self.cfg,
+                self.params,
+                jnp.asarray(rows, jnp.int32),
+                jnp.asarray(masks, jnp.int32),
+                jnp.asarray(self.eos_ids, jnp.int32),
+                max_new,
+                draft_len=self.spec_tokens,
+                ngram=self.spec_ngram,
+                limit=jnp.int32(max_new if limit is None else limit),
+                active=active,
+            )
         return generate_greedy(
             self.cfg,
             self.params,

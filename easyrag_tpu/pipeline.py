@@ -473,6 +473,8 @@ class EasyRAGPipeline:
                 quant=cfg.tpu.local_llm_quant,
                 max_new_tokens=cfg.tpu.local_llm_max_new or None,
                 max_batch=cfg.tpu.local_llm_gen_batch,
+                spec_tokens=cfg.tpu.local_llm_spec,
+                spec_ngram=cfg.tpu.local_llm_spec_ngram,
             )
         from .generation import LocalHFLLM
 

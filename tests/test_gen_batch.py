@@ -233,3 +233,23 @@ def test_pipeline_local_llm_answer_wiring(tiny_causal_checkpoint, tmp_path):
     assert isinstance(res["answer"], str)
     # the answer went through the batching adapter's device dispatch
     assert pipeline.llm.dispatches == 1
+
+
+def test_spec_wrapper_matches_plain(tiny_causal_checkpoint):
+    """tpu.local_llm_spec through the JaxCausalLM surface: identical text
+    to the plain decoder (exact-greedy acceptance), single and batched,
+    and warmup (which must also compile the verify block) stays clean."""
+    from easyrag_tpu.models.decode import JaxCausalLM
+
+    plain = JaxCausalLM(
+        tiny_causal_checkpoint, dtype=jnp.float32, quant="",
+        max_new_tokens=6, buckets=(8, 16), max_batch=2,
+    )
+    spec = JaxCausalLM(
+        tiny_causal_checkpoint, dtype=jnp.float32, quant="",
+        max_new_tokens=6, buckets=(8, 16), max_batch=2,
+        spec_tokens=3, spec_ngram=2,
+    )
+    spec.warmup(buckets=(8,), batch_sizes=(1,))
+    queries = ["w3 w1 w4", "w9 w8 w7 w6 w5 w4 w3 w2 w1 w10", "w5 w5 w5"]
+    assert spec.generate_batch(queries) == plain.generate_batch(queries)

@@ -13,6 +13,18 @@ never fires, so the while_loop runs all N steps. Completion barrier is a
 device->host scalar readback of the output tokens' sum.
 
 Run: python tools/bench_decode.py [--quant int8] [--batch 1] [--tiny]
+
+``--spec K`` measures prompt-lookup speculative decoding
+(``generate_greedy_spec``): decode is weight-bandwidth-bound, so a verify
+block over K+1 positions should cost about one plain step. Three rows:
+the plain step (baseline), the verify-block step at ZERO acceptance (a
+random prompt drafts garbage at a 152k vocab — every iteration emits one
+token, so iteration time IS the verify cost), and the FULL-acceptance
+ceiling: the lm_head is zeroed, making argmax constant, so after a warm-up
+the drafter copies the model's own continuation exactly — same weights
+read per step, genuine end-to-end machinery (lookup + scatter + acceptance
+bookkeeping), acceptance K/K. Real answers land between the two by their
+copy rate; exactness is pinned in tests/test_decode_spec.py.
 """
 
 import argparse
@@ -36,6 +48,9 @@ def main():
         "--tiny", action="store_true",
         help="2-layer toy model: smoke-tests the tool itself (CPU-safe)",
     )
+    ap.add_argument("--spec", type=int, default=0, metavar="K",
+                    help="measure prompt-lookup speculative decoding with "
+                         "K drafted tokens per verify block")
     args = ap.parse_args()
 
     import dataclasses
@@ -139,6 +154,60 @@ def main():
             "prefill_tok_s": round(B * S / t_prefill, 0),
             "batch": B, "prompt": S, "quant": args.quant,
         }))
+
+    if args.spec:
+        from easyrag_tpu.models.decode import generate_greedy_spec
+
+        K = args.spec
+
+        def run_spec(p, max_new):
+            out = generate_greedy_spec(
+                cfg, p, ids, mask, eos, max_new, draft_len=K
+            )
+            return int(jnp.sum(out))
+
+        def best_of_spec(p, max_new):
+            run_spec(p, max_new)  # compile
+            best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                run_spec(p, max_new)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        # natural acceptance: random prompt, real (random-weight) head —
+        # random-weight greedy continuations often cycle, so some drafts
+        # accept; this is the workload-dependent middle, not a floor
+        t1 = best_of_spec(params, 1)
+        tn = (best_of_spec(params, 1 + N) - t1) / N
+        # full acceptance: constant-argmax model (zeroed head) + a zero-run
+        # prompt tail the drafter can copy from — every block emits K+1
+        # tokens. Same weight bytes per step as real decode.
+        zero_head = jax.tree.map(jnp.zeros_like, params["lm_head"])
+        params0 = {**params, "lm_head": zero_head}
+        ids = ids.at[:, -64:].set(0)  # run_spec closes over `ids`
+        t1f = best_of_spec(params0, 1)
+        tf = (best_of_spec(params0, 1 + N) - t1f) / N  # per emitted token
+        block_ms = tf * (K + 1) * 1e3  # one verify-block forward
+        worst = block_ms / 1e3  # zero acceptance: 1 token per block
+        print(
+            f"spec K={K}: verify block {block_ms:.2f} ms "
+            f"({block_ms / (dec * 1e3):.2f}x plain step); full-acceptance "
+            f"{B / tf:.1f} tok/s ({dec / tf:.1f}x plain), natural "
+            f"(random-weight) {B / tn:.1f} tok/s, zero-acceptance floor "
+            f"{B / worst:.1f} tok/s"
+        )
+        if args.json:
+            print(json.dumps({
+                "spec_k": K,
+                "verify_block_ms": round(block_ms, 2),
+                "verify_vs_plain": round(block_ms / (dec * 1e3), 3),
+                "spec_tok_s_full_accept": round(B / tf, 1),
+                "spec_ceiling_vs_plain": round(dec / tf, 2),
+                "spec_tok_s_natural": round(B / tn, 1),
+                "spec_tok_s_floor": round(B / worst, 1),
+                "batch": B, "prompt": S, "quant": args.quant,
+            }))
 
 
 if __name__ == "__main__":
