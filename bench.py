@@ -202,14 +202,18 @@ def bench_decode_budgeted():
     try:
         proc = subprocess.run(
             [sys.executable, "tools/bench_decode.py", "--quant", "int8",
-             "--batch", "1", "--prompt", "1024", "--new", "16", "--json"],
+             "--batch", "1", "--prompt", "1024", "--new", "16", "--json",
+             "--spec", "7"],
             capture_output=True, text=True, timeout=DECODE_BUDGET_S,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        for line in reversed(proc.stdout.strip().splitlines()):
+        # --spec emits a second JSON line (the speculative-decoding rows);
+        # merge every JSON line into one record
+        out = {}
+        for line in proc.stdout.strip().splitlines():
             if line.startswith("{"):
-                return _json.loads(line)
-        return {"error": (proc.stderr or proc.stdout)[-300:]}
+                out.update(_json.loads(line))
+        return out or {"error": (proc.stderr or proc.stdout)[-300:]}
     except subprocess.TimeoutExpired:
         return {"error": f"timeout after {DECODE_BUDGET_S}s"}
 
