@@ -166,6 +166,9 @@ def main() -> None:
 
     dense_qps, dense_ratio = bench_dense(rng)
     rr_ms, rr_mfu = bench_reranker()
+    # w8a8 is the production-recommended reranker config (BASELINE.md): the
+    # bench reports it alongside bf16 so a regression in EITHER is visible
+    rr_ms_w8a8, _ = bench_reranker(quant="w8a8")
 
     print(
         json.dumps(
@@ -178,6 +181,7 @@ def main() -> None:
                     "dense_cosine_qps_20k_docs_3584d_top288": round(dense_qps, 2),
                     "dense_vs_cpu_flat_scan": round(dense_ratio, 2),
                     "reranker_2b_batch32x1064_cutoff28_ms": round(rr_ms, 1),
+                    "reranker_2b_w8a8_ms": round(rr_ms_w8a8, 1),
                     "reranker_mfu_pct": round(rr_mfu, 1),
                     "pipeline": bench_pipeline_budgeted(),
                     "local_llm_decode": bench_decode_budgeted(),
@@ -208,11 +212,18 @@ def bench_decode_budgeted():
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         # --spec emits a second JSON line (the speculative-decoding rows);
-        # merge every JSON line into one record
+        # merge every JSON line into one record. A stray '{'-prefixed
+        # non-JSON line (a dict repr, a JAX warning) must degrade to a
+        # skipped line, not abort the whole bench run.
         out = {}
         for line in proc.stdout.strip().splitlines():
             if line.startswith("{"):
-                out.update(_json.loads(line))
+                try:
+                    parsed = _json.loads(line)
+                except ValueError:
+                    continue
+                if isinstance(parsed, dict):
+                    out.update(parsed)
         return out or {"error": (proc.stderr or proc.stdout)[-300:]}
     except subprocess.TimeoutExpired:
         return {"error": f"timeout after {DECODE_BUDGET_S}s"}
@@ -333,12 +344,16 @@ def reranker_useful_flops(batch: int, seq: int, layers: int) -> float:
     return dense + attn
 
 
-def bench_reranker() -> tuple:
+def bench_reranker(quant: str = "") -> tuple:
     """The pipeline's dominant stage (SURVEY §3 hot loop #1): one reranker
     batch at true bge-reranker-v2-minicpm-layerwise scale — 32 pairs x 1064
     tokens through 28 layers with the flash64 kernel. Weights are random and
     generated ON DEVICE (uploads crawl through the tunnel); timing is
-    identical to real weights. Returns (ms_per_batch, useful-work MFU %)."""
+    identical to real weights. ``quant="w8a8"`` quantizes weights int8 and
+    enables dynamic activation quant (the production-recommended config).
+    Returns (ms_per_batch, useful-work bf16-peak MFU %)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -353,6 +368,16 @@ def bench_reranker() -> tuple:
         **RERANKER_2B,
     )
     params = init_params(cfg, jax.random.key(0))
+    if quant == "w8a8":
+        from easyrag_tpu.models.hf_loader import quantize_linear_int8_device
+
+        cfg = dataclasses.replace(cfg, act_quant=True)
+        q8 = jax.jit(quantize_linear_int8_device, donate_argnums=0)
+        for layer in params["layers"]:
+            for group in ("attn", "mlp"):
+                for name in list(layer[group]):
+                    rest = {k: v for k, v in layer[group][name].items() if k != "w"}
+                    layer[group][name] = {**q8(layer[group][name]["w"]), **rest}
     hidden = jax.random.normal(jax.random.key(1), (B, S, 2304), jnp.bfloat16)
     mask = jnp.ones((B, S), jnp.int32)
 

@@ -92,8 +92,16 @@ class TPUConfig:
     local_llm_continuous: bool = False
     # decode steps per pool dispatch: join granularity is chunk_steps ×
     # ~10 ms against one ~30 ms host round trip per chunk on a remote
-    # attachment (32 → ~0.3 s joins at ~10% dispatch overhead)
+    # attachment (32 → ~0.3 s joins at ~10% dispatch overhead). With
+    # local_llm_spec set, chunks count verify blocks (1..spec+1 tokens each)
     local_llm_chunk_steps: int = 32
+    # per-bucket pool slot tiers, "bucket:slots,bucket:slots" (e.g.
+    # "2048:2,7680:2"): short prompts stop reserving largest-bucket KV —
+    # at 7B/max_new=128 a 7808-slot row costs ~0.44 GB vs ~0.12 at 2176,
+    # the difference between pool 4 fitting next to the full co-resident
+    # stack or OOMing (ROADMAP r3 lesson). "" = one tier at the largest
+    # bucket with gen_batch slots. Buckets must be prompt buckets
+    local_llm_pool_tiers: str = ""
     # pre-compile the generation executables at boot (serving: kills the
     # tens-of-seconds cold-compile p99 spike on first-seen prompt buckets;
     # warms the top two length buckets at batch sizes 1..gen_batch)
@@ -103,7 +111,9 @@ class TPUConfig:
     # drafted from the sequence's own earlier n-gram continuations in ONE
     # forward — decode is weight-bandwidth-bound, so accepted drafts are
     # nearly free. Exact-greedy (bit-identical outputs); pays most for RAG
-    # answers that copy spans from the retrieved context. 0 = off
+    # answers that copy spans from the retrieved context. 0 = off. Applies
+    # to both the batched path (generate_greedy_spec) and the continuous
+    # pool (pool_chunk_spec)
     local_llm_spec: int = 0
     # trailing n-gram length the draft lookup matches on
     local_llm_spec_ngram: int = 2
@@ -228,6 +238,23 @@ class EasyRAGConfig:
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
+
+
+def parse_pool_tiers(spec: str) -> Optional[List[tuple]]:
+    """Parse ``tpu.local_llm_pool_tiers`` ("2048:2,7680:2") into
+    ``[(bucket, slots), ...]``; "" -> None (single largest-bucket tier)."""
+    if not spec:
+        return None
+    tiers = []
+    for part in str(spec).split(","):
+        bucket, _, slots = part.partition(":")
+        try:
+            tiers.append((int(bucket), int(slots)))
+        except ValueError:
+            raise ValueError(
+                f"tpu.local_llm_pool_tiers expects 'bucket:slots,...', got {spec!r}"
+            ) from None
+    return tiers
 
 
 def parse_override(spec: str) -> (str, Any):

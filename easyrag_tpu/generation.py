@@ -167,11 +167,15 @@ class ContinuousBatchingLocalLLM:
     thread so the event loop keeps serving.
     """
 
-    def __init__(self, model, pool_size: int = 4, chunk_steps: int = 32) -> None:
+    def __init__(
+        self, model, pool_size: int = 4, chunk_steps: int = 32, tiers=None
+    ) -> None:
         from .models.decode_pool import DecodePool
 
         self.model = model
-        self.pool = DecodePool(model, pool_size=pool_size, chunk_steps=chunk_steps)
+        self.pool = DecodePool(
+            model, pool_size=pool_size, chunk_steps=chunk_steps, tiers=tiers
+        )
         self._queue: deque = deque()
         self._driver: Optional[asyncio.Task] = None
         self.dispatches = 0  # chunk dispatches (observability/tests)
@@ -195,11 +199,22 @@ class ContinuousBatchingLocalLLM:
     async def _drive(self) -> None:
         pool = self.pool
         while self._queue or pool.active:
-            # admit as many waiters as there are free slots
-            while self._queue and pool.free:
-                prompt, fut = self._queue.popleft()
+            # admit waiters while a fitting tier has a free slot (a long
+            # prompt must WAIT when only small-tier slots are free, not
+            # fail; head-of-line order is kept so waiters can't starve)
+            while self._queue:
+                prompt, fut = self._queue[0]
                 try:
                     ids = self.model._encode(prompt)
+                except Exception as e:  # noqa: BLE001 — fail this waiter only
+                    self._queue.popleft()
+                    if not fut.done():
+                        fut.set_exception(e)
+                    continue
+                if not pool.can_admit(ids):
+                    break
+                self._queue.popleft()
+                try:
                     await asyncio.to_thread(pool.insert, ids, fut)
                 except Exception as e:  # noqa: BLE001 — fail this waiter only
                     if not fut.done():

@@ -21,7 +21,7 @@ import os
 from typing import Any, Dict, Optional, Tuple
 
 from .compressors import ContextCompressor
-from .config import EasyRAGConfig
+from .config import EasyRAGConfig, parse_pool_tiers
 from .corpus.extractors import run_extractors
 from .corpus.hierarchical import HierarchicalSplitter, get_leaf_nodes
 from .corpus.reader import read_data
@@ -111,6 +111,7 @@ class EasyRAGPipeline:
                     self.local_llm,
                     pool_size=cfg.tpu.local_llm_gen_batch,
                     chunk_steps=cfg.tpu.local_llm_chunk_steps,
+                    tiers=parse_pool_tiers(cfg.tpu.local_llm_pool_tiers),
                 )
             else:
                 self.llm = BatchingLocalLLM(
