@@ -67,7 +67,11 @@ class TPUConfig:
     # checkpoint dir; "hf" keeps the torch parity wrapper
     # (generation.LocalHFLLM, reference llm_utils.py:58-73 semantics)
     local_llm_backend: str = "jax"
-    # weight storage for the jax local LLM: "" | "int8" | "w8a8"
+    # weight storage for the jax local LLM: "" | "int8" | "w8a8" | "int4"
+    # (int4: nibble-packed per-channel weights — half int8's HBM, ~decode
+    # speed parity; the knob that lets the generator co-reside with the
+    # embedder + reranker + indexes on one 16 GB chip. ~16x coarser
+    # rounding than int8; real-weight answer parity is environment-blocked)
     local_llm_quant: str = "int8"
     # use the local decoder as the ANSWER LLM (pipeline.llm) instead of the
     # GLM-4 network client — the complete zero-network RAG deployment.

@@ -238,7 +238,9 @@ def _lm_logits(cfg: DecoderConfig, params: Dict[str, Any], h: jnp.ndarray) -> jn
         h = h / (cfg.hidden_size / cfg.dim_model_base)
     head = params.get("lm_head")
     if head is None:  # tied embeddings (Qwen2-0.5B/1.5B, MiniCPM, Gemma)
-        head = {"w": params["embed"]}
+        emb = params["embed"]
+        head = emb if isinstance(emb, dict) else {"w": emb}  # int8 table
+        # doubles as an int8 per-channel head (_linear's w_q form)
     elif not isinstance(head, dict):  # hf_loader stores the plain CausalLM
         head = {"w": head}  # head as a raw [V, D] array
     return _linear(h, head).astype(jnp.float32)

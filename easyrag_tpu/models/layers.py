@@ -115,6 +115,19 @@ def attention_bias_from_mask(attention_mask: jnp.ndarray, dtype=jnp.float32) -> 
 def _linear(
     x: jnp.ndarray, p: Dict[str, jnp.ndarray], a8: bool = False
 ) -> jnp.ndarray:
+    if "w_p" in p:
+        # int4 weight-only (nibble-packed, per-output-channel scales,
+        # hf_loader.quantize_linear_int4): unpack + cast ride the matmul's
+        # producer fusion, dequant is a column rescale in the epilogue.
+        # Half int8's HBM — the co-residency knob; measured ~speed-parity
+        # with int8 per decode step (tools/exp_int4.py)
+        from .hf_loader import unpack_int4
+
+        w = unpack_int4(p["w_p"])
+        y = (x @ w.T.astype(x.dtype)) * p["scale"].astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"]
+        return y
     if "w_q" in p:
         if a8:
             # w8a8: dynamic per-token symmetric activation quant feeding an
@@ -147,6 +160,12 @@ def _linear(
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def _softcap_flash_ok(s: int, hd: int, g: int) -> bool:
+    from easyrag_tpu.ops.flash_softcap import supported
+
+    return supported(s, hd, g)
 
 
 def attention(
@@ -216,6 +235,38 @@ def attention(
 
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+
+    if (
+        cfg.use_flash
+        and cfg.attn_logit_softcapping
+        and mask is not None
+        and hd % 128 == 0
+        and nh % nkv == 0
+        and s % 8 == 0
+        and _softcap_flash_ok(s, hd, nh // nkv)
+    ):
+        # softcap-capable fused kernel (ops/flash_softcap.py): applies
+        # tanh(l/c)*c inside the VMEM tile, GQA-native (no KV repeat).
+        # RIGHT-padding contract: zeros in `mask` must form a suffix —
+        # causality then excludes pad keys for every real row, and pad
+        # rows' outputs are garbage-but-finite exactly like the einsum
+        # path's. The only softcap family here is the Gemma2 reranker,
+        # whose token compression already enforces right padding
+        # (models/gemma.py::build_inputs).
+        from easyrag_tpu.ops.flash_softcap import flash_softcap_attention
+
+        out = flash_softcap_attention(
+            q.reshape(b, s, nh * hd),
+            k.reshape(b, s, nkv * hd),
+            v.reshape(b, s, nkv * hd),
+            num_heads=nh,
+            num_kv_heads=nkv,
+            sm_scale=scale,
+            softcap=cfg.attn_logit_softcapping,
+            block_q=cfg.flash_blocks[0] if cfg.flash_blocks else None,
+        )
+        return _linear(out.astype(x.dtype), params["o"], a8)
+
     if nkv != nh:  # grouped-query attention: broadcast KV over query groups
         rep = nh // nkv
         k = jnp.repeat(k, rep, axis=2)
@@ -308,7 +359,17 @@ def decoder_layer(
 
 
 def embed(cfg: DecoderConfig, params: Dict[str, Any], input_ids: jnp.ndarray) -> jnp.ndarray:
-    h = jnp.take(params["embed"], input_ids, axis=0)
+    table = params["embed"]
+    if isinstance(table, dict):
+        # int8 embed table (per-row scales, hf_loader.quantize_linear_int8
+        # over [V, D]): gather rows + their scales, dequant on the tiny
+        # [B, S, D] gather result — halves the ~1 GB bf16 table the int4
+        # co-residency budget counts (only the int4 LLM stores this form)
+        rows = jnp.take(table["w_q"], input_ids, axis=0).astype(cfg.dtype)
+        scales = jnp.take(table["scale"], input_ids, axis=0).astype(cfg.dtype)
+        h = rows * scales[..., None]
+    else:
+        h = jnp.take(table, input_ids, axis=0)
     if cfg.gemma:
         h = h * jnp.asarray(cfg.hidden_size ** 0.5, dtype=h.dtype)
     elif cfg.scale_emb != 1.0:

@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quant", default="int8", choices=["bf16", "int8", "w8a8"])
+    ap.add_argument("--quant", default="int8",
+                    choices=["bf16", "int8", "w8a8", "int4"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prompt", type=int, default=1024, help="prompt bucket")
     ap.add_argument("--new", type=int, default=64, help="decode steps timed")
@@ -59,7 +60,10 @@ def main():
     import jax.numpy as jnp
 
     from easyrag_tpu.models.decode import generate_greedy
-    from easyrag_tpu.models.hf_loader import quantize_linear_int8_device
+    from easyrag_tpu.models.hf_loader import (
+        quantize_linear_int4_device,
+        quantize_linear_int8_device,
+    )
     from easyrag_tpu.models.layers import DecoderConfig, init_params
 
     # Qwen2-7B-Instruct architecture (what the reference points
@@ -88,6 +92,12 @@ def main():
     # ONE jitted dispatch for the whole tree: per-leaf dispatches each pay
     # the ~30 ms tunnel round trip (~200 of them stall for minutes — same
     # lesson as tools/bench_pipeline.py::make_embedder_params_int8)
+    qdev = {
+        "int8": quantize_linear_int8_device,
+        "w8a8": quantize_linear_int8_device,
+        "int4": quantize_linear_int4_device,
+    }.get(args.quant)
+
     def build(key):
         p = init_params(cfg, key)
         # untied head, the Qwen2-7B-Instruct layout; quantized like the
@@ -96,19 +106,13 @@ def main():
             jax.random.fold_in(key, 7), (cfg.vocab_size, cfg.hidden_size),
             cfg.dtype,
         ) * 0.02
-        p["lm_head"] = (
-            quantize_linear_int8_device(head)
-            if args.quant in ("int8", "w8a8") else {"w": head}
-        )
-        if args.quant in ("int8", "w8a8"):
+        p["lm_head"] = qdev(head) if qdev else {"w": head}
+        if qdev:
             for layer in p["layers"]:
                 for group in ("attn", "mlp"):
                     for name, lin in list(layer[group].items()):
                         rest = {k: v for k, v in lin.items() if k != "w"}
-                        layer[group][name] = {
-                            **quantize_linear_int8_device(lin["w"]),
-                            **rest,
-                        }
+                        layer[group][name] = {**qdev(lin["w"]), **rest}
         return p
 
     params = jax.jit(build)(jax.random.key(0))

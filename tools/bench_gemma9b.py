@@ -6,11 +6,13 @@ weight-only matmuls, token compression at ``compress_layer=[24,40]``,
 
 Weights are random, generated directly as int8 leaves ON DEVICE (~8.3 GB
 matmuls + 1.8 GB bf16 embed table; the bf16 tree would be ~18.5 GB and
-not fit). Attention runs the einsum path — Gemma2's logit softcap rules
-out the flash kernels — so the [B,H,S,S] f32 logits are the peak-memory
-driver; the batch auto-halves on OOM and the realized batch is reported.
+not fit). Attention defaults to the softcap-capable fused kernel
+(``ops/flash_softcap.py``, round 4): the einsum path materializes the
+[B,H,S,S] f32 logits (~2 GiB per 32-pair batch, the peak-memory driver —
+measure it with ``--no-flash``); the batch auto-halves on OOM and the
+realized batch is reported.
 
-Run: python tools/bench_gemma9b.py [--batch 32] [--iters 3] [--tiny]
+Run: python tools/bench_gemma9b.py [--batch 32] [--iters 3] [--no-flash]
 """
 
 import argparse
@@ -95,6 +97,9 @@ def main():
     ap.add_argument("--w8a8", action="store_true",
                     help="dynamic per-token activation int8 (layers."
                          "DecoderConfig.act_quant) — weights are already s8")
+    ap.add_argument("--no-flash", action="store_true",
+                    help="einsum attention (the pre-r4 path; materializes "
+                         "the [B,H,S,S] f32 softcapped logits)")
     args = ap.parse_args()
 
     import jax
@@ -126,7 +131,9 @@ def main():
         # reference where only layers < cutoff run)
         cutoff, comp_layers, start_layer = 28, (24, 40), 8
     cfg = DecoderConfig(
-        gemma=True, dtype=jnp.bfloat16, act_quant=args.w8a8, **arch
+        gemma=True, dtype=jnp.bfloat16, act_quant=args.w8a8,
+        use_flash=not args.no_flash and jax.default_backend() != "cpu",
+        **arch,
     )
 
     params = make_gemma_params_int8(cfg, jax.random.key(0), start_layer)

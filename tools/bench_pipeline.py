@@ -182,9 +182,12 @@ class LocalGenLLM:
             int(out.sum())
 
 
-def make_local_llm(max_new: int, tiny: bool = False):
-    """Random int8 Qwen2-7B-Instruct-architecture weights on device, plus
-    an untied int8 lm_head (the 7B-Instruct layout)."""
+def make_local_llm(max_new: int, tiny: bool = False, quant: str = "int8"):
+    """Random Qwen2-7B-Instruct-architecture weights on device, plus an
+    untied quantized lm_head (the 7B-Instruct layout). ``quant="int4"``
+    packs the matmul weights to nibbles + stores the embed table int8
+    (hf_loader's int4 layout, ~4.3 vs 7.6 GiB) — the four-tenant
+    co-residency configuration."""
     import jax
     import jax.numpy as jnp
 
@@ -204,19 +207,71 @@ def make_local_llm(max_new: int, tiny: bool = False):
     cfg = DecoderConfig(
         dtype=jnp.bfloat16, use_flash=jax.default_backend() != "cpu", **arch
     )
-    params = make_embedder_params_int8(cfg, jax.random.key(31))
+    if quant == "int4":
+        params = jax.jit(_llm_tree_int4, static_argnums=0)(cfg, jax.random.key(31))
+    else:
+        params = make_embedder_params_int8(cfg, jax.random.key(31))
 
-    @jax.jit
-    def head(key):
-        w_q = jax.random.randint(
-            key, (cfg.vocab_size, cfg.hidden_size), -127, 128, jnp.int32
-        ).astype(jnp.int8)
-        return {"w_q": w_q,
-                "scale": jnp.full((cfg.vocab_size,), 0.02 / 73.0, jnp.float32)}
+        @jax.jit
+        def head(key):
+            w_q = jax.random.randint(
+                key, (cfg.vocab_size, cfg.hidden_size), -127, 128, jnp.int32
+            ).astype(jnp.int8)
+            return {"w_q": w_q,
+                    "scale": jnp.full((cfg.vocab_size,), 0.02 / 73.0, jnp.float32)}
 
-    params["lm_head"] = head(jax.random.key(32))
+        params["lm_head"] = head(jax.random.key(32))
     buckets = (64, 128) if tiny else (2048, 4096, 7680)
     return LocalGenLLM(cfg, params, max_new=max_new, buckets=buckets)
+
+
+def _llm_tree_int4(cfg, key):
+    """Random int4-leaf LLM tree in hf_loader's quant='int4' layout:
+    nibble-packed matmuls + int4 head + int8 embed table, one dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    def q4(key, n_in, n_out, bias=False):
+        w_p = jax.random.randint(
+            key, (n_out, n_in // 2), -128, 128, jnp.int32
+        ).astype(jnp.int8)  # random bytes = two uniform nibbles
+        p = {"w_p": w_p, "scale": jnp.full((n_out,), 0.02 / 4.0, jnp.float32)}
+        if bias:
+            p["b"] = jnp.zeros((n_out,), cfg.dtype)
+        return p
+
+    d, hd = cfg.hidden_size, cfg.hd
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        k = jax.random.split(keys[i], 8)
+        layers.append(
+            {
+                "input_norm": jnp.ones((d,), cfg.dtype),
+                "post_norm": jnp.ones((d,), cfg.dtype),
+                "attn": {
+                    "q": q4(k[0], d, cfg.num_attention_heads * hd, cfg.attention_bias),
+                    "k": q4(k[1], d, cfg.num_key_value_heads * hd, cfg.attention_bias),
+                    "v": q4(k[2], d, cfg.num_key_value_heads * hd, cfg.attention_bias),
+                    "o": q4(k[3], cfg.num_attention_heads * hd, d),
+                },
+                "mlp": {
+                    "gate": q4(k[4], d, cfg.intermediate_size),
+                    "up": q4(k[5], d, cfg.intermediate_size),
+                    "down": q4(k[6], cfg.intermediate_size, d),
+                },
+            }
+        )
+    embed_q = jax.random.randint(
+        keys[-2], (cfg.vocab_size, d), -127, 128, jnp.int32
+    ).astype(jnp.int8)
+    return {
+        "embed": {"w_q": embed_q,
+                  "scale": jnp.full((cfg.vocab_size,), 0.02 / 73.0, jnp.float32)},
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+        "lm_head": q4(keys[-1], d, cfg.vocab_size),
+    }
 
 
 def build_corpus_on_disk(root: str, n_docs: int, rng) -> None:
@@ -525,9 +580,14 @@ def main():
                     help="run the (already int8-weight) embedder with "
                          "dynamic activation quant in the dense route")
     ap.add_argument("--local-llm", type=int, default=0, metavar="MAX_NEW",
-                    help="also boot a 7B-Instruct-scale local LLM (int8, "
-                         "on-chip KV-cache decode) and time the full route "
-                         "with REAL generation of MAX_NEW tokens")
+                    help="also boot a 7B-Instruct-scale local LLM (on-chip "
+                         "KV-cache decode) and time the full route with "
+                         "REAL generation of MAX_NEW tokens")
+    ap.add_argument("--local-llm-quant", default="int8",
+                    choices=["int8", "int4"],
+                    help="int4 (nibble-packed, ~4.3 GiB) co-fits with the "
+                         "7B embedder: the FOUR-tenant boot; int8 needs "
+                         "--skip-embedder")
     ap.add_argument("--cascade-carry", action="store_true",
                     help="cascade stage 2 resumes from carried stage-1 "
                          "hidden states (tpu.cascade_carry)")
@@ -624,25 +684,34 @@ def main():
     # ---- full route + REAL on-chip generation ----------------------------
     p50_gen = None
     if args.local_llm:
-        local = make_local_llm(args.local_llm, tiny=args.tiny)
-        account("local_llm_7b_int8", local.params)
-        used = hbm_stats("with local LLM loaded")
-        saved_llm = pipeline.llm
-        pipeline.llm = local
-        if args.cascade:  # generation on top of the fastest full-quality mode
-            reranker.use_efficient = 3
-            reranker.cascade_keep = args.cascade
-        print("[full route + generation] compiling prefill+decode...", flush=True)
-        loop.run_until_complete(pipeline.run({"query": queries[0]}))
-        p50_gen = timed_runs(
-            f"full route + ON-CHIP generation (max_new={args.local_llm}, "
-            f"prompt~{local.prompt_tokens} tok"
-            + (f", cascade keep={args.cascade}" if args.cascade else "")
-            + ")",
-            args.queries,
-        )
-        reranker.use_efficient = 0
-        pipeline.llm = saved_llm
+        # exception-safe: a four-tenant OOM must degrade to an error
+        # string in the JSON, not kill the other metrics
+        try:
+            local = make_local_llm(
+                args.local_llm, tiny=args.tiny, quant=args.local_llm_quant
+            )
+            account(f"local_llm_7b_{args.local_llm_quant}", local.params)
+            used = hbm_stats("with local LLM loaded")
+            saved_llm = pipeline.llm
+            pipeline.llm = local
+            if args.cascade:  # generation on the fastest full-quality mode
+                reranker.use_efficient = 3
+                reranker.cascade_keep = args.cascade
+            print("[full route + generation] compiling prefill+decode...", flush=True)
+            loop.run_until_complete(pipeline.run({"query": queries[0]}))
+            p50_gen = timed_runs(
+                f"full route + ON-CHIP generation (max_new={args.local_llm}, "
+                f"prompt~{local.prompt_tokens} tok, {args.local_llm_quant}"
+                + (f", cascade keep={args.cascade}" if args.cascade else "")
+                + ")",
+                args.queries,
+            )
+            reranker.use_efficient = 0
+            pipeline.llm = saved_llm
+        except Exception as e:  # noqa: BLE001
+            p50_gen = None
+            gen_error = f"{type(e).__name__}: {e}"[:200]
+            print(f"[full route + generation] FAILED: {gen_error}", flush=True)
 
     # ---- dense route incl. query embedding (short-seq bucket) ------------
     dense_route = None
@@ -689,11 +758,12 @@ def main():
         "pipeline_p50_ms_exit12": round(p50_exit * 1000, 1) if p50_exit else None,
         "pipeline_p50_ms_exit_declined": round(p50_noexit * 1000, 1) if p50_noexit else None,
         "pipeline_p50_ms_cascade": round(p50_cascade * 1000, 1) if p50_cascade else None,
-        # needs --local-llm (plus --skip-embedder: the 7B LLM and the 7B
-        # embedder don't co-fit one 16 GB chip); measured 5.42 s in
-        # BASELINE.md's on-chip generation section
+        # --local-llm --local-llm-quant int4: the FOUR-tenant boot (int4
+        # generator co-fits with the int8 7B embedder); int8 still needs
+        # --skip-embedder
         "pipeline_p50_ms_with_generation": round(p50_gen * 1000, 1) if p50_gen
-        else "not run (needs --local-llm --skip-embedder; see BASELINE.md)",
+        else locals().get("gen_error", "not run (needs --local-llm)"),
+        "local_llm_quant": args.local_llm_quant if args.local_llm else None,
         "retrieval_only_qps_coresident": round(retr_qps, 1),
         "dense_route_incl_embed_qps": round(dense_route, 1) if dense_route else None,
         "hbm_bytes_in_use": used,
