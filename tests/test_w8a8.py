@@ -87,7 +87,8 @@ def test_loader_accepts_w8a8_and_sets_act_quant(tmp_path):
     from easyrag_tpu.models.hf_loader import load_decoder_params
 
     with pytest.raises(ValueError):
-        load_decoder_params(str(tmp_path), 1, quant="int4")
+        load_decoder_params(str(tmp_path), 1, quant="fp8")  # int4 became
+        # a supported mode in r4 (tests/test_int4.py)
 
 
 def test_w8a8_tp_matches_unsharded():
