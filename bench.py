@@ -229,8 +229,9 @@ def bench_decode_budgeted():
         return {"error": f"timeout after {DECODE_BUDGET_S}s"}
 
 
-PIPELINE_BUDGET_S = 3000  # compile-cache-warm runs finish well inside this
-# (raised in r3: the subprocess now also times the cascade mode)
+PIPELINE_BUDGET_S = 3600  # compile-cache-warm runs finish well inside this
+# (raised in r4: the subprocess now also boots the int4 7B generator and
+# times the full route WITH on-chip generation — the four-tenant config)
 
 
 def bench_pipeline_budgeted():
@@ -255,7 +256,12 @@ def bench_pipeline_budgeted():
              # carried cascade: stage 2 resumes from stage-1 hidden
              # (-12.5% p50, ~1.2 GB transient — fits next to the w8a8
              # tenants' 11.2 GiB)
-             "--cascade", "32", "--cascade-carry"],
+             "--cascade", "32", "--cascade-carry",
+             # the FOUR-tenant boot (VERDICT r3 #1): int4 7B generator
+             # (nibble-packed, ~4.3 GiB) co-resident with the int8 7B
+             # embedder + w8a8 reranker + indexes, full run(query) incl.
+             # REAL on-chip generation -> pipeline_p50_ms_with_generation
+             "--local-llm", "128", "--local-llm-quant", "int4"],
             capture_output=True, text=True, timeout=PIPELINE_BUDGET_S,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )

@@ -62,6 +62,13 @@ async def run_batch(args: argparse.Namespace) -> None:
         t0 = time.perf_counter()
         results = await pipeline.run_retrieval_batch(queries)
         lat.append(time.perf_counter() - t0)
+    elif getattr(args, "batch_answers", False):
+        # staged batch answers: one retrieval stream, device-batched
+        # rerank, bucketed gen_batch decodes — vs the reference's
+        # sequential loop (src/main.py:48-52)
+        t0 = time.perf_counter()
+        results = await pipeline.run_answers_batch(queries)
+        lat.append(time.perf_counter() - t0)
     else:
         results = []
         for query in queries:
@@ -78,7 +85,9 @@ async def run_batch(args: argparse.Namespace) -> None:
         p50 = lat_sorted[len(lat_sorted) // 2]
         print(
             f"吞吐: {len(queries) / wall:.2f} qps | "
-            f"p50 {'batch' if args.re_only else 'query'}: {p50 * 1000:.1f} ms"
+            f"p50 "
+            f"{'batch' if args.re_only or getattr(args, 'batch_answers', False) else 'query'}"
+            f": {p50 * 1000:.1f} ms"
         )
 
     os.makedirs("outputs", exist_ok=True)
@@ -126,6 +135,13 @@ def main() -> None:
     parser.add_argument("--split", default="test", choices=["test", "val"])
     parser.add_argument("--re-only", action="store_true", dest="re_only")
     parser.add_argument("--push", action="store_true")
+    parser.add_argument(
+        "--batch-answers", action="store_true", dest="batch_answers",
+        help="stage the whole split through batched retrieval -> rerank -> "
+             "bucketed gen_batch decodes (pipeline.run_answers_batch) "
+             "instead of the reference's sequential per-query loop "
+             "(src/main.py:48-52); needs tpu.local_llm_answer",
+    )
     parser.add_argument("--note", default="best")
     parser.add_argument("--qa-dir", default="data", help="dir with question.jsonl/val.json")
     parser.add_argument(

@@ -108,7 +108,8 @@ class TPUConfig:
     local_llm_pool_tiers: str = ""
     # pre-compile the generation executables at boot (serving: kills the
     # tens-of-seconds cold-compile p99 spike on first-seen prompt buckets;
-    # warms the top two length buckets at batch sizes 1..gen_batch)
+    # warms EVERY (bucket, batch-size) pair the server can hit — any cold
+    # pair otherwise lands a tens-of-seconds compile on an unlucky request)
     local_llm_warmup: bool = False
     # prompt-lookup speculative decoding (models/decode.py::
     # generate_greedy_spec): each decode step verifies this many tokens

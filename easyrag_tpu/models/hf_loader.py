@@ -102,14 +102,19 @@ def quantize_linear_int4(tensor: np.ndarray) -> Dict[str, Any]:
     """Symmetric per-output-channel int4 weight quantization, nibble-packed.
 
     ``w ≈ unpack(w_p) * scale[:, None]`` with ``scale = max|row| / 7``;
-    two 4-bit values ride per int8 byte along the input dim (``w_p[o, i]``
-    holds columns ``2i`` (low nibble) and ``2i+1`` (high)). 4x the HBM
+    two 4-bit values ride per int8 byte along the input dim in the
+    *deinterleaved-halves* layout: ``w_p[o, i]`` holds column ``i`` (low
+    nibble) and column ``i + I/2`` (high nibble), so unpacking is two
+    full-tile shifts with no lane interleave — the layout
+    ``ops/int4_matvec.py`` streams packed through VMEM. 4x the HBM
     headroom of bf16 — the co-residency knob that lets the 7B generator
     live next to the 7B embedder + reranker + indexes on one 16 GB chip
-    (VERDICT r3 item #1). The unpack (shift/mask) runs inside the matmul's
-    producer fusion; measured ~at parity with the int8 matvec per step
-    (tools/exp_int4.py) — int4 buys memory, not decode speed, on this
-    backend. Per-channel scales keep the dequant a rank-1 epilogue rescale
+    (VERDICT r3 item #1). Decode-shape matmuls route through the Pallas
+    in-VMEM unpack kernel (``ops/int4_matvec.py``) so HBM sees only the
+    packed bytes; the XLA shift/mask path — which materializes the unpack
+    between HBM and the matmul, measured 16.3 ms/step at 7B, WORSE than
+    int8's 9.9 — remains the prefill/CPU fallback.
+    Per-channel scales keep the dequant a rank-1 epilogue rescale
     (group-128 scales cannot factor out of the contraction and would
     materialize the bf16 tree at prefill shapes). Quality: ~16x coarser
     rounding than int8 — real-checkpoint score/answer parity is the
@@ -120,7 +125,8 @@ def quantize_linear_int4(tensor: np.ndarray) -> Dict[str, Any]:
     scale = np.abs(w).max(axis=1) / 7.0
     scale = np.where(scale == 0.0, 1.0, scale)
     w4 = np.clip(np.rint(w / scale[:, None]), -7, 7).astype(np.int8)
-    packed = (w4[:, 0::2] & 0xF) | ((w4[:, 1::2] & 0xF) << 4)
+    half = w.shape[1] // 2
+    packed = (w4[:, :half] & 0xF) | ((w4[:, half:] & 0xF) << 4)
     return {
         "w_p": jnp.asarray(packed.astype(np.int8)),
         "scale": jnp.asarray(scale, jnp.float32),
@@ -133,17 +139,20 @@ def quantize_linear_int4_device(w: jnp.ndarray) -> Dict[str, Any]:
     wf = w.astype(jnp.float32)
     scale = jnp.max(jnp.abs(wf), axis=1) / 7.0
     scale = jnp.where(scale == 0.0, 1.0, scale)
+    half = w.shape[1] // 2
     w4 = jnp.clip(jnp.rint(wf / scale[:, None]), -7, 7).astype(jnp.int8)
-    packed = (w4[:, 0::2] & 0xF) | ((w4[:, 1::2] & 0xF) << 4)
+    packed = (w4[:, :half] & 0xF) | ((w4[:, half:] & 0xF) << 4)
     return {"w_p": packed.astype(jnp.int8), "scale": scale}
 
 
 def unpack_int4(w_p: jnp.ndarray) -> jnp.ndarray:
-    """[O, I/2] packed nibbles -> [O, I] int8 (sign-extended)."""
+    """[O, I/2] packed nibbles -> [O, I] int8 (sign-extended).
+
+    Halves layout: low nibbles are columns [0, I/2), high nibbles are
+    columns [I/2, I) — a concat, not an interleave (see int4_matvec)."""
     lo = (w_p << 4).astype(jnp.int8) >> 4  # arithmetic shifts sign-extend
     hi = w_p >> 4
-    o, half = w_p.shape
-    return jnp.stack([lo, hi], axis=-1).reshape(o, half * 2)
+    return jnp.concatenate([lo, hi], axis=1)
 
 
 def quantize_linear_int8_device(w: jnp.ndarray) -> Dict[str, Any]:

@@ -116,15 +116,28 @@ def _linear(
     x: jnp.ndarray, p: Dict[str, jnp.ndarray], a8: bool = False
 ) -> jnp.ndarray:
     if "w_p" in p:
-        # int4 weight-only (nibble-packed, per-output-channel scales,
-        # hf_loader.quantize_linear_int4): unpack + cast ride the matmul's
-        # producer fusion, dequant is a column rescale in the epilogue.
-        # Half int8's HBM — the co-residency knob; measured ~speed-parity
-        # with int8 per decode step (tools/exp_int4.py)
-        from .hf_loader import unpack_int4
+        # int4 weight-only (nibble-packed halves layout, per-output-channel
+        # scales, hf_loader.quantize_linear_int4). Decode shapes (few rows)
+        # go through the Pallas in-VMEM unpack matvec so HBM sees only the
+        # packed bytes (ops/int4_matvec.py); large-row shapes (prefill,
+        # compute-bound) and the CPU backend use the XLA unpack, whose
+        # materialized int8 copy is amortized by the matmul FLOPs there.
+        from ..ops import int4_matvec as i4
 
-        w = unpack_int4(p["w_p"])
-        y = (x @ w.T.astype(x.dtype)) * p["scale"].astype(x.dtype)
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        n_out, half_in = p["w_p"].shape
+        if jax.default_backend() == "tpu" and i4.supported(rows, n_out, half_in):
+            y2 = i4.int4_matvec(
+                x.reshape(rows, x.shape[-1]), p["w_p"], p["scale"]
+            )
+            y = y2.reshape(*x.shape[:-1], n_out)
+        else:
+            from .hf_loader import unpack_int4
+
+            w = unpack_int4(p["w_p"])
+            y = (x @ w.T.astype(x.dtype)) * p["scale"].astype(x.dtype)
         if "b" in p:
             y = y + p["b"]
         return y

@@ -114,15 +114,27 @@ def create_app(pipeline: EasyRAGPipeline):
     ):
         gen_batch = getattr(cfg.tpu, "local_llm_gen_batch", 8)
         sizes = [b for b in (1, 2, 4, 8, 16, 32) if b <= gen_batch] or [1]
+        # warm EVERY (bucket, B) pair the server can hit — real prompts
+        # touch every bucket, and any cold pair lands a tens-of-seconds
+        # compile on an unlucky request (the measured p99 spike; r3 warmed
+        # only the top two buckets and the tail stayed cold-dominated)
+        import time as _time
+
+        _t0 = _time.perf_counter()
         # continuous batching compiles its own executables (one chunk +
         # per-bucket prefill/insert) — warm the pool, not generate_greedy
         wrapper = getattr(pipeline, "llm", None)
         if getattr(cfg.tpu, "local_llm_continuous", False) and hasattr(
             wrapper, "pool"
         ):
-            wrapper.warmup(buckets=local.buckets[-2:])
+            wrapper.warmup(buckets=local.buckets)
         else:
-            local.warmup(buckets=local.buckets[-2:], batch_sizes=sizes)
+            local.warmup(buckets=local.buckets, batch_sizes=sizes)
+        print(
+            f"[serving] generation warmup: buckets={list(local.buckets)} "
+            f"batch_sizes={sizes} in {_time.perf_counter() - _t0:.1f}s",
+            flush=True,
+        )
 
     @routes.get("/test")
     async def test(_request):

@@ -253,3 +253,118 @@ def test_spec_wrapper_matches_plain(tiny_causal_checkpoint):
     spec.warmup(buckets=(8,), batch_sizes=(1,))
     queries = ["w3 w1 w4", "w9 w8 w7 w6 w5 w4 w3 w2 w1 w10", "w5 w5 w5"]
     assert spec.generate_batch(queries) == plain.generate_batch(queries)
+
+
+def test_run_answers_batch_matches_sequential(tiny_causal_checkpoint, tmp_path):
+    """``run_answers_batch`` (staged: one retrieval stream -> rerank ->
+    bucketed gen_batch decodes) returns the same answers/nodes/contexts as
+    the sequential per-query ``run`` loop — the reference's batch-eval
+    shape (``/root/reference/src/main.py:48-52``) staged TPU-first."""
+    import json
+
+    from easyrag_tpu.config import EasyRAGConfig, TPUConfig
+    from easyrag_tpu.pipeline import EasyRAGPipeline
+
+    root = tmp_path / "corpus"
+    (root / "director").mkdir(parents=True)
+    (root / "director" / "a.txt").write_text(
+        "w1 w2 w3\nw1 w2 w3 w4 w5。\n", encoding="utf-8"
+    )
+    (root / "director" / "b.txt").write_text(
+        "w7 w8\nw7 w8 w9。\n", encoding="utf-8"
+    )
+    # a third doc keeps df < N AND df+0.5 < N-df+0.5: at N=2/df=1 Okapi's
+    # idf is ln(1.5/1.5) = 0 exactly, so every score drops (faithfully)
+    (root / "director" / "c.txt").write_text(
+        "x1 x2\nx1 x2 x3。\n", encoding="utf-8"
+    )
+    (root / "pathmap.json").write_text(
+        json.dumps({"director/a.txt": ["k", "a"], "director/b.txt": ["k", "b"],
+                    "director/c.txt": ["k", "c"]}),
+        encoding="utf-8",
+    )
+    cfg = EasyRAGConfig(
+        retrieval_type=2,
+        use_reranker=0,
+        chunk_size=64,
+        chunk_overlap=10,
+        data_path=str(root),
+        f_topk_2=2,
+        f_topk_3=1,
+        local_llm_name=tiny_causal_checkpoint,
+        cache_path=str(tmp_path / "cache"),
+        tpu=TPUConfig(
+            use_pallas=False,
+            local_llm_answer=True,
+            local_llm_quant="",
+            local_llm_max_new=4,
+            local_llm_gen_batch=2,
+        ),
+    )
+    pipeline = EasyRAGPipeline(cfg)
+    queries = [{"query": "w1 w2 w3"}, {"query": "w7 w8"}, {"query": "w4 w5"}]
+    loop = asyncio.new_event_loop()
+    seq = [loop.run_until_complete(pipeline.run(dict(q))) for q in queries]
+    batch = loop.run_until_complete(pipeline.run_answers_batch(queries))
+    assert any(r["contexts"] for r in batch)  # parity must not be vacuous
+    assert [r["answer"] for r in batch] == [r["answer"] for r in seq]
+    assert [r["contexts"] for r in batch] == [r["contexts"] for r in seq]
+    assert [
+        [n.node.idx for n in r["nodes"]] for r in batch
+    ] == [[n.node.idx for n in r["nodes"]] for r in seq]
+
+
+def test_run_answers_batch_falls_back_when_unstageable(
+    tiny_causal_checkpoint, tmp_path
+):
+    """Non-default paths fall back to the sequential loop (same results
+    contract), rather than silently skipping stages."""
+    import json
+
+    from easyrag_tpu.config import EasyRAGConfig, TPUConfig
+    from easyrag_tpu.pipeline import EasyRAGPipeline
+
+    root = tmp_path / "corpus"
+    (root / "director").mkdir(parents=True)
+    (root / "director" / "a.txt").write_text(
+        "w1 w2 w3\nw1 w2 w3 w4 w5。\n", encoding="utf-8"
+    )
+    (root / "director" / "b.txt").write_text(
+        "w7 w8\nw7 w8 w9。\n", encoding="utf-8"
+    )
+    # a third doc keeps df < N AND df+0.5 < N-df+0.5: at N=2/df=1 Okapi's
+    # idf is ln(1.5/1.5) = 0 exactly, so every score drops (faithfully)
+    (root / "director" / "c.txt").write_text(
+        "x1 x2\nx1 x2 x3。\n", encoding="utf-8"
+    )
+    (root / "pathmap.json").write_text(
+        json.dumps({"director/a.txt": ["k", "a"], "director/b.txt": ["k", "b"],
+                    "director/c.txt": ["k", "c"]}),
+        encoding="utf-8",
+    )
+    cfg = EasyRAGConfig(
+        retrieval_type=2,
+        use_reranker=0,
+        chunk_size=64,
+        chunk_overlap=10,
+        data_path=str(root),
+        f_topk_2=2,
+        f_topk_3=0,
+        ans_refine_type=2,  # exercises the refine concat in both paths
+        local_llm_name=tiny_causal_checkpoint,
+        cache_path=str(tmp_path / "cache"),
+        tpu=TPUConfig(
+            use_pallas=False,
+            local_llm_answer=True,
+            local_llm_quant="",
+            local_llm_max_new=4,
+            local_llm_gen_batch=2,
+        ),
+    )
+    pipeline = EasyRAGPipeline(cfg)
+    loop = asyncio.new_event_loop()
+    q = {"query": "w1 w2 w3"}
+    seq = loop.run_until_complete(pipeline.run(dict(q)))
+    batch = loop.run_until_complete(pipeline.run_answers_batch([q]))
+    assert batch[0]["answer"] == seq["answer"]
+    assert batch[0]["answer"].endswith(batch[0]["contexts"][0])

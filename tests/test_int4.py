@@ -157,3 +157,58 @@ def test_int4_decode_matches_growing_forward():
     want = oracle_greedy(cfg, params, prompt, 8, eos)
     got = run_cached(cfg, params, prompt, 8, eos)
     assert got == want
+
+
+# ---- Pallas in-VMEM unpack matvec (ops/int4_matvec.py) --------------------
+# Decode's bandwidth fix: HBM must see only the packed nibbles. Interpret
+# mode pins the kernel's algebra on CPU; the TPU measurement lives in
+# tools/bench_decode.py --quant int4.
+
+from easyrag_tpu.ops.int4_matvec import int4_matvec, supported
+
+
+def _oracle(x, p):
+    w = unpack_int4(p["w_p"]).astype(jnp.float32)
+    return (x.astype(jnp.float32) @ w.T) * p["scale"]
+
+
+def test_int4_matvec_kernel_matches_dequant_oracle():
+    rng = np.random.default_rng(7)
+    for rows, n_out, n_in in [(1, 128, 256), (5, 256, 256), (8, 384, 512)]:
+        w = rng.standard_normal((n_out, n_in)).astype(np.float32) * 0.05
+        p = quantize_linear_int4(w)
+        x = jnp.asarray(
+            rng.standard_normal((rows, n_in)).astype(np.float32), jnp.bfloat16
+        )
+        got = int4_matvec(x, p["w_p"], p["scale"], interpret=True)
+        assert got.shape == (rows, n_out) and got.dtype == x.dtype
+        want = _oracle(x, p)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want), rtol=2e-2, atol=1e-3
+        )
+
+
+def test_int4_matvec_support_gate():
+    # lanes contract: half_in and n_out must be multiples of 128; row cap
+    assert supported(1, 3584, 1792) and supported(8, 18944, 1792)
+    assert not supported(0, 3584, 1792)
+    assert not supported(128, 3584, 1792)  # compute-bound: XLA path
+    assert not supported(1, 3584, 100)  # ragged lanes
+    assert not supported(1, 100, 1792)  # ragged outputs
+
+
+def test_linear_int4_routes_and_matches_on_3d_input():
+    # _linear reshapes [B, S, d] through the kernel path on TPU; on CPU it
+    # must keep using the XLA unpack — both equal the dequant oracle.
+    rng = np.random.default_rng(8)
+    w = rng.standard_normal((256, 256)).astype(np.float32) * 0.05
+    p = quantize_linear_int4(w)
+    p["b"] = jnp.asarray(rng.standard_normal((256,)).astype(np.float32))
+    x = jnp.asarray(
+        rng.standard_normal((2, 3, 256)).astype(np.float32), jnp.bfloat16
+    )
+    got = _linear(x, p)
+    want = _oracle(x.reshape(6, 256), p).reshape(2, 3, 256) + np.asarray(p["b"])
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=2e-2, atol=2e-2
+    )

@@ -88,10 +88,11 @@ class LocalGenLLM:
     stop at EOS and cost less)."""
 
     def __init__(self, cfg, params, max_new=128,
-                 buckets=(2048, 4096, 7680)) -> None:
+                 buckets=(2048, 4096, 7680), max_batch=8) -> None:
         self.cfg, self.params = cfg, params
         self.max_new = max_new
         self.buckets = buckets
+        self.max_batch = max_batch  # decode rows per dispatch (gen_batch)
         self.prompt_tokens = 0  # last call, for reporting
         # the DecodePool surface (models/decode_pool.py), so the serving
         # bench can drive continuous batching at true scale
@@ -138,25 +139,28 @@ class LocalGenLLM:
             encs.append(ids)
             bucket = next(b for b in self.buckets if len(ids) <= b)
             groups.setdefault(bucket, []).append(i)
-        for bucket, idxs in groups.items():
-            b = 1 << (len(idxs) - 1).bit_length()
-            rows = [[0] * (bucket - len(encs[i])) + encs[i] for i in idxs]
-            masks = [
-                [0] * (bucket - len(encs[i])) + [1] * len(encs[i]) for i in idxs
-            ]
-            rows += [[0] * bucket] * (b - len(idxs))
-            masks += [[0] * (bucket - 1) + [1]] * (b - len(idxs))
-            out = generate_greedy(
-                self.cfg,
-                self.params,
-                jnp.asarray(rows, jnp.int32),
-                jnp.asarray(masks, jnp.int32),
-                jnp.asarray([-1], jnp.int32),  # sentinel: all steps run
-                self.max_new,
-                limit=jnp.int32(self.max_new),
-                active=jnp.arange(b) < len(idxs),
-            )
-            int(out.sum())  # device->host scalar readback barrier
+        for bucket, bidxs in groups.items():
+            for lo in range(0, len(bidxs), self.max_batch):
+                idxs = bidxs[lo : lo + self.max_batch]
+                b = 1 << (len(idxs) - 1).bit_length()
+                rows = [[0] * (bucket - len(encs[i])) + encs[i] for i in idxs]
+                masks = [
+                    [0] * (bucket - len(encs[i])) + [1] * len(encs[i])
+                    for i in idxs
+                ]
+                rows += [[0] * bucket] * (b - len(idxs))
+                masks += [[0] * (bucket - 1) + [1]] * (b - len(idxs))
+                out = generate_greedy(
+                    self.cfg,
+                    self.params,
+                    jnp.asarray(rows, jnp.int32),
+                    jnp.asarray(masks, jnp.int32),
+                    jnp.asarray([-1], jnp.int32),  # sentinel: all steps run
+                    self.max_new,
+                    limit=jnp.int32(self.max_new),
+                    active=jnp.arange(b) < len(idxs),
+                )
+                int(out.sum())  # device->host scalar readback barrier
         return [f"[{self.max_new} tokens decoded on-chip]"] * len(prompts)
 
     def warmup(self, batch_sizes=(1,)):
@@ -588,6 +592,14 @@ def main():
                     help="int4 (nibble-packed, ~4.3 GiB) co-fits with the "
                          "7B embedder: the FOUR-tenant boot; int8 needs "
                          "--skip-embedder")
+    ap.add_argument("--answer-eval", type=int, default=0, metavar="N",
+                    help="with --local-llm: time N queries through the "
+                         "staged batch path (run_answers_batch — one "
+                         "retrieval stream, rerank, gen_batch-row decodes; "
+                         "the cli.py --batch-answers shape)")
+    ap.add_argument("--gen-batch", type=int, default=8,
+                    help="decode rows per dispatch in --answer-eval "
+                         "(tpu.local_llm_gen_batch)")
     ap.add_argument("--cascade-carry", action="store_true",
                     help="cascade stage 2 resumes from carried stage-1 "
                          "hidden states (tpu.cascade_carry)")
@@ -706,10 +718,36 @@ def main():
                 + ")",
                 args.queries,
             )
+            # ---- staged batch answer-eval (VERDICT r3 #7) -------------
+            # cli.py --batch-answers shape: the whole query set through
+            # run_answers_batch (one retrieval stream -> rerank ->
+            # gen_batch-row bucketed decodes) — the reference's batch eval
+            # is a sequential per-query loop (src/main.py:48-52)
+            if args.answer_eval:
+                pipeline.local_llm = local
+                local.max_batch = args.gen_batch
+                aq = [{"query": make_query(ns)}
+                      for _ in range(args.answer_eval)]
+                print(f"[answer eval] warming ({args.gen_batch}-row decode)...",
+                      flush=True)
+                loop.run_until_complete(
+                    pipeline.run_answers_batch(aq[: args.gen_batch])
+                )
+                t0 = time.perf_counter()
+                res = loop.run_until_complete(pipeline.run_answers_batch(aq))
+                wall = time.perf_counter() - t0
+                assert len(res) == len(aq) and all(r["answer"] for r in res)
+                answer_eval_qps = len(aq) / wall
+                print(
+                    f"[answer eval] {len(aq)} queries incl. retrieval + "
+                    f"rerank + {args.local_llm}-token generation in "
+                    f"{wall:.1f}s -> {answer_eval_qps:.3f} qps "
+                    f"(sequential p50 was {p50_gen:.2f}s/query)",
+                    flush=True,
+                )
             reranker.use_efficient = 0
             pipeline.llm = saved_llm
         except Exception as e:  # noqa: BLE001
-            p50_gen = None
             gen_error = f"{type(e).__name__}: {e}"[:200]
             print(f"[full route + generation] FAILED: {gen_error}", flush=True)
 
@@ -764,6 +802,10 @@ def main():
         "pipeline_p50_ms_with_generation": round(p50_gen * 1000, 1) if p50_gen
         else locals().get("gen_error", "not run (needs --local-llm)"),
         "local_llm_quant": args.local_llm_quant if args.local_llm else None,
+        # staged batch answer-eval (cli.py --batch-answers shape): wall-qps
+        # incl. retrieval + rerank + gen_batch-row generation
+        "answer_eval_qps": round(locals().get("answer_eval_qps", 0), 3) or None,
+        "answer_eval_n": args.answer_eval or None,
         "retrieval_only_qps_coresident": round(retr_qps, 1),
         "dense_route_incl_embed_qps": round(dense_route, 1) if dense_route else None,
         "hbm_bytes_in_use": used,
