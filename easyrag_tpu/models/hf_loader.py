@@ -171,13 +171,16 @@ def quantize_linear_int8_device(w: jnp.ndarray) -> Dict[str, Any]:
     return {"w_q": w_q, "scale": scale}
 
 
-def quantize_decoder_tree(params: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_decoder_tree(
+    params: Dict[str, Any], quant: str = "int8"
+) -> Dict[str, Any]:
     """Quantize every attn/mlp linear in an in-memory layers.py pytree.
 
     The streaming loader quantizes at load time; this covers params that
     already live in memory (tests, dryruns, init_params trees). Embeddings,
-    norms, and biases pass through untouched.
+    norms, and biases pass through untouched. ``quant``: int8 | int4.
     """
+    quantize = {"int8": quantize_linear_int8, "int4": quantize_linear_int4}[quant]
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:
@@ -186,7 +189,7 @@ def quantize_decoder_tree(params: Dict[str, Any]) -> Dict[str, Any]:
             if key in ("attn", "mlp"):
                 q[key] = {
                     name: {
-                        **quantize_linear_int8(np.asarray(p["w"], np.float32)),
+                        **quantize(np.asarray(p["w"], np.float32)),
                         **({"b": p["b"]} if "b" in p else {}),
                     }
                     if "w" in p

@@ -38,6 +38,20 @@ def shard_decoder_params(
     col_b, rep = ns(P(axis)), ns(P())
 
     def shard_dense(p, col: bool):
+        if "w_p" in p:
+            # int4 (hf_loader.quantize_linear_int4): TP shards store the
+            # nibble VALUES as int8 (same per-channel scales — w ≈
+            # unpack * scale is exactly the w_q contract). The packed
+            # halves layout cannot row-shard (each byte pairs input
+            # columns i and i+I/2, which land on different devices), and
+            # the Pallas unpack kernel is a single-device program; GSPMD
+            # partitions the int8 matmul instead. Per-device HBM is still
+            # half of bf16, and TP multiplies aggregate HBM anyway.
+            from ..models.hf_loader import unpack_int4
+
+            p = {"w_q": unpack_int4(p["w_p"]), **{
+                k: v for k, v in p.items() if k != "w_p"
+            }}
         if "w_q" in p:  # int8 weight-only (hf_loader.quantize_linear_int8)
             out = {
                 "w_q": jax.device_put(p["w_q"], col_w if col else row_w),

@@ -267,3 +267,41 @@ def test_w8a8_decode_matches_growing_forward():
     want = oracle_greedy(cfg, params, prompt, 6, eos)
     got = run_cached(cfg, params, prompt, 6, eos)
     assert got == want
+
+
+def test_tp_decode_int4_weights():
+    """int4 params under TP: shard_decoder_params stores the nibble VALUES
+    as int8 per shard (the packed halves layout can't row-shard — each
+    byte pairs input columns i and i+I/2 — and the Pallas unpack kernel is
+    a single-device program), so GSPMD partitions an int8 matmul with the
+    SAME dequantized values: tokens must match the unsharded int4 run."""
+    from jax.sharding import Mesh
+
+    from easyrag_tpu.models.hf_loader import quantize_decoder_tree
+    from easyrag_tpu.parallel.tp import shard_decoder_params
+
+    cfg = tiny_cfg(num_key_value_heads=4)
+    params = quantize_decoder_tree(
+        init_params(cfg, jax.random.key(12)), quant="int4"
+    )
+    assert any(
+        "w_p" in layer["attn"]["q"] for layer in params["layers"]
+    )
+    prompt = [8, 2, 7, 5, 1, 3]
+    eos = [VOCAB - 1]
+    want = run_cached(cfg, params, prompt, 5, eos)
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("model",))
+    tp_params = shard_decoder_params(mesh, cfg, params, axis="model")
+    # shards carry unpacked int8 nibble values, identical scales
+    assert "w_q" in tp_params["layers"][0]["attn"]["q"]
+    with mesh:
+        out = generate_greedy(
+            cfg,
+            tp_params,
+            jnp.asarray([prompt], jnp.int32),
+            jnp.ones((1, len(prompt)), jnp.int32),
+            jnp.asarray(eos, jnp.int32),
+            5,
+        )
+    assert list(np.asarray(out[0])) == want
