@@ -67,13 +67,16 @@ class TPUConfig:
     # checkpoint dir; "hf" keeps the torch parity wrapper
     # (generation.LocalHFLLM, reference llm_utils.py:58-73 semantics)
     local_llm_backend: str = "jax"
-    # weight storage for the jax local LLM: "" | "int8" | "w8a8" | "int4"
+    # weight storage for the jax local LLM:
+    # "" | "int8" | "w8a8" | "int4" | "w4a8"
     # (int4: nibble-packed per-channel weights — half int8's HBM AND the
     # fastest decode: the Pallas in-VMEM unpack matvec reads only packed
     # bytes, measured 6.2 vs int8's 9.9 ms/step at 7B. The knob that lets
     # the generator co-reside with the embedder + reranker + indexes on
     # one 16 GB chip. ~16x coarser rounding than int8; real-weight answer
-    # parity is environment-blocked)
+    # parity is environment-blocked. w4a8 = int4 storage + w8a8's dynamic
+    # activation quant on prefill shapes: 2x MXU prefill, same kernel
+    # decode — the fastest end-to-end generation config)
     local_llm_quant: str = "int8"
     # use the local decoder as the ANSWER LLM (pipeline.llm) instead of the
     # GLM-4 network client — the complete zero-network RAG deployment.

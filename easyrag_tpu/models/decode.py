@@ -631,7 +631,7 @@ class JaxCausalLM:
         model_dir = _require_local(model_dir, "local LLM")
         hf = load_hf_config(model_dir)
         self.cfg = qwen2_config_from_hf(hf, dtype=dtype)
-        if quant == "w8a8":
+        if quant in ("w8a8", "w4a8"):
             self.cfg = dataclasses.replace(self.cfg, act_quant=True)
         if jax.default_backend() != "cpu" and self.cfg.hd % 128 == 0:
             # long-prompt prefill must run the flash kernel (the einsum

@@ -219,9 +219,9 @@ def load_decoder_params(
     precision-critical). Quantization happens tensor-by-tensor during the
     stream, so peak host memory stays one shard + one tensor.
     """
-    if quant not in ("", "int8", "w8a8", "int4"):
+    if quant not in ("", "int8", "w8a8", "int4", "w4a8"):
         raise ValueError(
-            f"quant must be '', 'int8', 'w8a8' or 'int4', got {quant!r}"
+            f"quant must be '', 'int8', 'w8a8', 'int4' or 'w4a8', got {quant!r}"
         )
     layers: list = [
         {"attn": {}, "mlp": {}} for _ in range(num_layers)
@@ -236,7 +236,7 @@ def load_decoder_params(
     def put_linear(tensor: np.ndarray) -> Dict[str, Any]:
         if quant in ("int8", "w8a8"):  # w8a8 stores the same int8 weights;
             return quantize_linear_int8(tensor)  # activations quantize at
-        if quant == "int4":  # run time (layers.DecoderConfig.act_quant)
+        if quant in ("int4", "w4a8"):  # run time (DecoderConfig.act_quant)
             return quantize_linear_int4(tensor)
         return {"w": put(tensor)}
 
@@ -248,7 +248,9 @@ def load_decoder_params(
             # the gathered rows, layers.embed) — the point of int4 is HBM,
             # and the bf16 table is ~1 GB at 7B scale
             params["embed"] = (
-                quantize_linear_int8(tensor) if quant == "int4" else put(tensor)
+                quantize_linear_int8(tensor)
+                if quant in ("int4", "w4a8")
+                else put(tensor)
             )
         elif name == "norm.weight":
             params["final_norm"] = put(tensor)

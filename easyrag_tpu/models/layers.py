@@ -137,7 +137,26 @@ def _linear(
             from .hf_loader import unpack_int4
 
             w = unpack_int4(p["w_p"])
-            y = (x @ w.T.astype(x.dtype)) * p["scale"].astype(x.dtype)
+            if a8:
+                # w4a8 (prefill shapes): the unpacked nibble values are
+                # already s8, so dynamic per-token activation quant buys
+                # the MXU's 2x s8 x s8 rate exactly like the w8a8 path —
+                # int4 storage with w8a8 prefill compute. Decode shapes
+                # take the kernel above instead (bandwidth-bound; act
+                # quant is irrelevant there).
+                xf = x.astype(jnp.float32)
+                amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+                xs = jnp.where(amax > 0, amax, 1.0) / 127.0
+                x_q = jnp.round(xf / xs).astype(jnp.int8)
+                y = jax.lax.dot_general(
+                    x_q,
+                    w,
+                    dimension_numbers=(((x_q.ndim - 1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = (y.astype(jnp.float32) * xs * p["scale"]).astype(x.dtype)
+            else:
+                y = (x @ w.T.astype(x.dtype)) * p["scale"].astype(x.dtype)
         if "b" in p:
             y = y + p["b"]
         return y

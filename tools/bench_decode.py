@@ -38,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", default="int8",
-                    choices=["bf16", "int8", "w8a8", "int4"])
+                    choices=["bf16", "int8", "w8a8", "int4", "w4a8"])
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--prompt", type=int, default=1024, help="prompt bucket")
     ap.add_argument("--new", type=int, default=64, help="decode steps timed")
@@ -84,7 +84,7 @@ def main():
         use_flash=jax.default_backend() != "cpu",
         **arch,
     )
-    if args.quant == "w8a8":
+    if args.quant in ("w8a8", "w4a8"):
         cfg = dataclasses.replace(cfg, act_quant=True)
 
     print(f"backend={jax.default_backend()} quant={args.quant}", flush=True)
@@ -96,6 +96,7 @@ def main():
         "int8": quantize_linear_int8_device,
         "w8a8": quantize_linear_int8_device,
         "int4": quantize_linear_int4_device,
+        "w4a8": quantize_linear_int4_device,
     }.get(args.quant)
 
     def build(key):

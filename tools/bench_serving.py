@@ -101,6 +101,17 @@ def main():
                          "concurrent requests JOIN at chunk boundaries "
                          "(generation.ContinuousBatchingLocalLLM) — the "
                          "staggered-arrival fix gen-batch can't provide")
+    ap.add_argument("--local-llm-quant", default="int8",
+                    choices=["int8", "int4"],
+                    help="int4: nibble-packed weights (~4.3 GiB) + the "
+                         "in-VMEM unpack decode kernel — co-fits with the "
+                         "embedder (--with-embedder): the 4-tenant boot")
+    ap.add_argument("--with-embedder", action="store_true",
+                    help="boot the 7B int8 embedder too (the full "
+                         "co-resident tenant set)")
+    ap.add_argument("--pool-tiers", default="",
+                    help="per-bucket pool slot tiers for --gen-continuous, "
+                         "e.g. 2048:2,7680:2 (tpu.local_llm_pool_tiers)")
     ap.add_argument("--gen-warmup", action="store_true",
                     help="pre-compile the generation executables before "
                          "the timed window (the tpu.local_llm_warmup boot "
@@ -109,7 +120,8 @@ def main():
 
     from easyrag_tpu.serving.api import create_app
 
-    ns = build_system(tiny=args.tiny, docs=args.docs, with_embedder=False,
+    ns = build_system(tiny=args.tiny, docs=args.docs,
+                      with_embedder=args.with_embedder,
                       rr_quant=args.reranker_quant)
     queries = [make_query(ns) for _ in range(max(args.requests, 8))]
 
@@ -125,12 +137,16 @@ def main():
     if args.local_llm:
         from bench_pipeline import make_local_llm
 
-        gen = make_local_llm(args.local_llm, tiny=args.tiny)
+        gen = make_local_llm(
+            args.local_llm, tiny=args.tiny, quant=args.local_llm_quant
+        )
         if args.gen_continuous:
+            from easyrag_tpu.config import parse_pool_tiers
             from easyrag_tpu.generation import ContinuousBatchingLocalLLM
 
             ns.pipeline.llm = ContinuousBatchingLocalLLM(
-                gen, pool_size=args.gen_continuous
+                gen, pool_size=args.gen_continuous,
+                tiers=parse_pool_tiers(args.pool_tiers),
             )
         elif args.gen_batch:
             from easyrag_tpu.generation import BatchingLocalLLM
@@ -145,9 +161,9 @@ def main():
         if args.gen_warmup:
             t0 = time.perf_counter()
             if args.gen_continuous:
-                # one chunk executable + (prefill, insert) for the top two
-                # buckets — the pool has no (bucket × batch-size) zoo
-                ns.pipeline.llm.warmup(buckets=gen.buckets[-2:])
+                # per-tier chunk executables + (tier, bucket) prefill/
+                # insert pairs — every bucket, like the api.py boot warmup
+                ns.pipeline.llm.warmup(buckets=gen.buckets)
                 sizes = "pool"
             else:
                 sizes = [b for b in (1, 2, 4, 8) if b <= max(args.gen_batch, 1)]
