@@ -253,6 +253,10 @@ def bench_pipeline_budgeted():
              # rank stability pinned in tests/test_w8a8.py, bf16 numbers
              # recorded alongside in BASELINE.md
              "--reranker-quant", "w8a8", "--embedder-w8a8",
+             # int4 embedder storage (~3.8 vs 7.1 GiB): the headroom that
+             # lets the int4 7B generator co-reside (w4a8 embedder compute
+             # — act quant rides --embedder-w8a8)
+             "--embedder-quant", "int4",
              # carried cascade: stage 2 resumes from stage-1 hidden
              # (-12.5% p50, ~1.2 GB transient — fits next to the w8a8
              # tenants' 11.2 GiB)

@@ -38,9 +38,13 @@ class TPUConfig:
     # the 7B-embedder-next-to-a-large-index case, SURVEY §7 hard part #4);
     # "w8a8" additionally quantizes activations per-token at run time so
     # the s8 x s8 contraction runs at the MXU's 2x int8 rate (small
-    # rounding error — opt-in, see layers._linear)
+    # rounding error — opt-in, see layers._linear); "int4"/"w4a8" store
+    # nibble-packed weights at half int8's HBM (~3.8 GiB at 7B incl. the
+    # int8 embed table) — the four-tenant co-residency configuration
+    # (embedder + reranker + generator + indexes on one 16 GB chip)
     embedder_quant: str = ""
-    # reranker quantization: "" (bf16) | "int8" | "w8a8" (same contract)
+    # reranker quantization: "" (bf16) | "int8" | "w8a8" | "int4" | "w4a8"
+    # (same contract)
     reranker_quant: str = ""
     # survivors re-scored at full depth when r_use_efficient=3 (cascade):
     # stage 1 scores every pair at the judge layer, stage 2 only the top

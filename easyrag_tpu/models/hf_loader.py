@@ -341,7 +341,7 @@ def load_qwen2_embedder(model_dir: str, dtype=jnp.bfloat16, quant: str = ""):
 
     hf = load_hf_config(model_dir)
     cfg = qwen2_config_from_hf(hf, dtype=dtype)
-    if quant == "w8a8":
+    if quant in ("w8a8", "w4a8"):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, act_quant=True)
@@ -357,7 +357,7 @@ def load_minicpm_reranker(model_dir: str, dtype=jnp.bfloat16, quant: str = ""):
 
     hf = load_hf_config(model_dir)
     cfg = minicpm_config_from_hf(hf, dtype=dtype)
-    if quant == "w8a8":
+    if quant in ("w8a8", "w4a8"):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, act_quant=True)

@@ -260,3 +260,30 @@ def test_full_pipeline_boots_from_checkpoint_dirs(
     )
     assert res["answer"] == ""
     assert len(res["nodes"]) <= 2 and res["contexts"]
+
+
+def test_int4_and_w4a8_quantized_embedder(sharded_gte_checkpoint):
+    """quant='int4'/'w4a8' through the embedder loader: nibble-packed
+    matmuls + int8 embed table (the four-tenant co-residency layout),
+    w4a8 additionally sets act_quant; outputs stay close to bf16 (coarser
+    than int8 — int4 rounding) and cosine-consistent."""
+    from easyrag_tpu.models.registry import load_embedder
+
+    full = load_embedder(sharded_gte_checkpoint, embed_type=1)
+    q4 = load_embedder(sharded_gte_checkpoint, embed_type=1, quant="int4")
+    for layer in q4.params["layers"]:
+        for group in ("attn", "mlp"):
+            for leaf in layer[group].values():
+                assert leaf["w_p"].dtype == np.int8
+                assert "w" not in leaf and "w_q" not in leaf
+    assert "w_q" in q4.params["embed"]  # int8 embed table rides along
+    assert not q4.cfg.act_quant
+
+    a = full.get_text_embeddings(["w1 w2 w3", "w4 w5 w6 w7"])
+    b = q4.get_text_embeddings(["w1 w2 w3", "w4 w5 w6 w7"])
+    assert ((a * b).sum(axis=1) > 0.95).all()  # int4: coarser than int8
+
+    w4a8 = load_embedder(sharded_gte_checkpoint, embed_type=1, quant="w4a8")
+    assert w4a8.cfg.act_quant
+    c = w4a8.get_text_embeddings(["w1 w2 w3", "w4 w5 w6 w7"])
+    assert ((a * c).sum(axis=1) > 0.95).all()

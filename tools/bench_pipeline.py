@@ -368,6 +368,61 @@ def _embedder_tree_int8(cfg, key):
     }
 
 
+def make_embedder_params_int4(cfg, key):
+    """int4 twin of :func:`make_embedder_params_int8` (nibble-packed
+    matmuls + int8 embed table — hf_loader's quant='int4' embedder layout,
+    ~3.8 vs 7.1 GiB at 7B): the four-tenant co-residency embedder."""
+    import jax
+
+    return jax.jit(_embedder_tree_int4, static_argnums=0)(cfg, key)
+
+
+def _embedder_tree_int4(cfg, key):
+    import jax
+    import jax.numpy as jnp
+
+    def q4(key, n_in, n_out, bias):
+        w_p = jax.random.randint(
+            key, (n_out, n_in // 2), -128, 128, jnp.int32
+        ).astype(jnp.int8)  # random bytes = two uniform nibbles
+        p = {"w_p": w_p, "scale": jnp.full((n_out,), 0.02 / 4.0, jnp.float32)}
+        if bias:
+            p["b"] = jnp.zeros((n_out,), cfg.dtype)
+        return p
+
+    d, hd = cfg.hidden_size, cfg.hd
+    keys = jax.random.split(key, cfg.num_hidden_layers + 2)
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        k = jax.random.split(keys[i], 8)
+        layers.append(
+            {
+                "input_norm": jnp.ones((d,), cfg.dtype),
+                "post_norm": jnp.ones((d,), cfg.dtype),
+                "attn": {
+                    "q": q4(k[0], d, cfg.num_attention_heads * hd, cfg.attention_bias),
+                    "k": q4(k[1], d, cfg.num_key_value_heads * hd, cfg.attention_bias),
+                    "v": q4(k[2], d, cfg.num_key_value_heads * hd, cfg.attention_bias),
+                    "o": q4(k[3], cfg.num_attention_heads * hd, d, False),
+                },
+                "mlp": {
+                    "gate": q4(k[4], d, cfg.intermediate_size, False),
+                    "up": q4(k[5], d, cfg.intermediate_size, False),
+                    "down": q4(k[6], cfg.intermediate_size, d, False),
+                },
+            }
+        )
+    embed_q = jax.random.randint(
+        keys[-2], (cfg.vocab_size, d), -127, 128, jnp.int32
+    ).astype(jnp.int8)
+    return {
+        "embed": {"w_q": embed_q,
+                  "scale": jnp.full((cfg.vocab_size,), 0.02 / 73.0, jnp.float32)},
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+    }
+
+
 _ACCOUNTED = {}  # tag -> bytes of arrays we allocated (axon has no memory_stats)
 
 
@@ -406,7 +461,7 @@ def hbm_stats(tag: str):
 
 def build_system(
     tiny: bool = False, docs: int = 20_000, with_embedder: bool = True,
-    rr_quant: str = "",
+    rr_quant: str = "", em_quant: str = "int8",
 ):
     """Boot the full co-resident system (corpus -> real pipeline + reranker
     at true scale + int8 7B embedder + dense index). Returns a namespace
@@ -507,7 +562,12 @@ def build_system(
             attention_bias=True, use_flash=jax.default_backend() != "cpu",
             dtype=jnp.bfloat16, **em_arch,
         )
-        embed_params = make_embedder_params_int8(em_cfg, jax.random.key(7))
+        if em_quant == "int4":
+            # nibble-packed matmuls + int8 embed table (~3.8 vs 7.1 GiB):
+            # the four-tenant co-residency embedder
+            embed_params = make_embedder_params_int4(em_cfg, jax.random.key(7))
+        else:
+            embed_params = make_embedder_params_int8(em_cfg, jax.random.key(7))
         account("embedder", embed_params)
         hbm_stats("embedder loaded")
 
@@ -580,6 +640,10 @@ def main():
                     help="toy scale: smoke-tests the tool itself (CPU-safe)")
     ap.add_argument("--reranker-quant", default="", choices=["", "w8a8"],
                     help="boot the reranker w8a8 (s8 x s8 projections)")
+    ap.add_argument("--embedder-quant", default="int8",
+                    choices=["int8", "int4"],
+                    help="embedder weight storage; int4 (~3.8 GiB incl. "
+                         "int8 embed table) is the four-tenant config")
     ap.add_argument("--embedder-w8a8", action="store_true",
                     help="run the (already int8-weight) embedder with "
                          "dynamic activation quant in the dense route")
@@ -613,7 +677,8 @@ def main():
 
     ns = build_system(tiny=args.tiny, docs=args.docs,
                       with_embedder=not args.skip_embedder,
-                      rr_quant=args.reranker_quant)
+                      rr_quant=args.reranker_quant,
+                      em_quant=args.embedder_quant)
     pipeline, scorer, reranker = ns.pipeline, ns.scorer, ns.reranker
     dense_index, n_nodes, used = ns.dense_index, ns.n_nodes, ns.hbm_used
     em_cfg, embed_params = ns.em_cfg, ns.embed_params
@@ -787,7 +852,8 @@ def main():
         dense_route = B / best
         print(
             f"[dense route incl. embedding] {dense_route:.0f} qps "
-            f"({best*1000:.0f} ms / {B}-query batch, S={S}, int8 7B embed + top-288)",
+            f"({best*1000:.0f} ms / {B}-query batch, S={S}, "
+            f"{args.embedder_quant} 7B embed + top-288)",
             flush=True,
         )
 
