@@ -185,6 +185,9 @@ def main() -> None:
                     "reranker_mfu_pct": round(rr_mfu, 1),
                     "pipeline": bench_pipeline_budgeted(),
                     "local_llm_decode": bench_decode_budgeted(),
+                    # the r4 production decode config: int4 weights +
+                    # the in-VMEM unpack kernel (ops/int4_matvec.py)
+                    "local_llm_decode_int4": bench_decode_budgeted("int4"),
                 },
             }
         )
@@ -194,10 +197,13 @@ def main() -> None:
 DECODE_BUDGET_S = 900
 
 
-def bench_decode_budgeted():
-    """On-chip generation metric (7B-Instruct-scale int8 KV-cache decode,
+def bench_decode_budgeted(quant: str = "int8"):
+    """On-chip generation metric (7B-Instruct-scale KV-cache decode,
     ``models/decode.py``) via ``tools/bench_decode.py`` in a budgeted
-    subprocess — same isolation rationale as the pipeline metric."""
+    subprocess — same isolation rationale as the pipeline metric.
+    ``quant="int4"`` is the r4 production decode config (nibble-packed
+    weights + the in-VMEM unpack matvec kernel, the fastest measured
+    B=1 step); int8 stays reported for continuity."""
     import json as _json
     import os
     import subprocess
@@ -205,7 +211,7 @@ def bench_decode_budgeted():
 
     try:
         proc = subprocess.run(
-            [sys.executable, "tools/bench_decode.py", "--quant", "int8",
+            [sys.executable, "tools/bench_decode.py", "--quant", quant,
              "--batch", "1", "--prompt", "1024", "--new", "16", "--json",
              "--spec", "7"],
             capture_output=True, text=True, timeout=DECODE_BUDGET_S,

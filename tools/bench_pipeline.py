@@ -163,27 +163,29 @@ class LocalGenLLM:
                 int(out.sum())  # device->host scalar readback barrier
         return [f"[{self.max_new} tokens decoded on-chip]"] * len(prompts)
 
-    def warmup(self, batch_sizes=(1,)):
-        """Pre-compile the largest-bucket executables (limit=1: full-length
-        static shapes, one decode step) — the tpu.local_llm_warmup boot
-        behavior at bench scale."""
+    def warmup(self, batch_sizes=(1,), buckets=None):
+        """Pre-compile EVERY (bucket, B) executable the run can hit
+        (limit=1: full-length static shapes, one decode step) — the
+        tpu.local_llm_warmup boot behavior at bench scale. Warming only
+        the largest bucket measured as a 718 s p95: prompt lengths depend
+        on retrieved contexts, so timed queries land in other buckets."""
         import jax.numpy as jnp
 
         from easyrag_tpu.models.decode import generate_greedy
 
-        bucket = self.buckets[-1]
-        for b in batch_sizes:
-            out = generate_greedy(
-                self.cfg,
-                self.params,
-                jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
-                jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
-                jnp.asarray([-1], jnp.int32),
-                self.max_new,
-                limit=jnp.int32(1),
-                active=jnp.arange(b) < b,
-            )
-            int(out.sum())
+        for bucket in buckets or self.buckets:
+            for b in batch_sizes:
+                out = generate_greedy(
+                    self.cfg,
+                    self.params,
+                    jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
+                    jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
+                    jnp.asarray([-1], jnp.int32),
+                    self.max_new,
+                    limit=jnp.int32(1),
+                    active=jnp.arange(b) < b,
+                )
+                int(out.sum())
 
 
 def make_local_llm(max_new: int, tiny: bool = False, quant: str = "int8"):
@@ -774,7 +776,13 @@ def main():
             if args.cascade:  # generation on the fastest full-quality mode
                 reranker.use_efficient = 3
                 reranker.cascade_keep = args.cascade
-            print("[full route + generation] compiling prefill+decode...", flush=True)
+            # warm EVERY (bucket, B=1) executable: the timed queries'
+            # prompt lengths depend on their retrieved contexts, so any
+            # unwarmed bucket lands a cold multi-minute remote compile
+            # INSIDE the timed window (measured: a 718 s p95)
+            print("[full route + generation] compiling prefill+decode "
+                  f"(buckets {list(local.buckets)} x B=1)...", flush=True)
+            local.warmup(batch_sizes=(1,))
             loop.run_until_complete(pipeline.run({"query": queries[0]}))
             p50_gen = timed_runs(
                 f"full route + ON-CHIP generation (max_new={args.local_llm}, "
@@ -795,6 +803,13 @@ def main():
                       for _ in range(args.answer_eval)]
                 print(f"[answer eval] warming ({args.gen_batch}-row decode)...",
                       flush=True)
+                # every (bucket, B) executable first: batch rows group by
+                # prompt bucket (pow2-padded tails -> B in {1,2,..,gen_batch}),
+                # and a 32-query eval WILL hit buckets the first gen_batch
+                # queries didn't
+                local.warmup(batch_sizes=tuple(
+                    b for b in (1, 2, 4, 8, 16) if b <= args.gen_batch
+                ))
                 loop.run_until_complete(
                     pipeline.run_answers_batch(aq[: args.gen_batch])
                 )
