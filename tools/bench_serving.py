@@ -109,6 +109,11 @@ def main():
     ap.add_argument("--with-embedder", action="store_true",
                     help="boot the 7B int8 embedder too (the full "
                          "co-resident tenant set)")
+    ap.add_argument("--embedder-quant", default="int8",
+                    choices=["int8", "int4"],
+                    help="embedder weight storage; int4 (~3.55 GiB) is "
+                         "required for the 4-tenant boot WITH a decode "
+                         "pool (pool KV tiers need the freed headroom)")
     ap.add_argument("--pool-tiers", default="",
                     help="per-bucket pool slot tiers for --gen-continuous, "
                          "e.g. 2048:2,7680:2 (tpu.local_llm_pool_tiers)")
@@ -122,7 +127,8 @@ def main():
 
     ns = build_system(tiny=args.tiny, docs=args.docs,
                       with_embedder=args.with_embedder,
-                      rr_quant=args.reranker_quant)
+                      rr_quant=args.reranker_quant,
+                      em_quant=args.embedder_quant)
     queries = [make_query(ns) for _ in range(max(args.requests, 8))]
 
     if args.use_exit:
