@@ -271,7 +271,11 @@ def bench_pipeline_budgeted():
              # (nibble-packed, ~4.3 GiB) co-resident with the int8 7B
              # embedder + w8a8 reranker + indexes, full run(query) incl.
              # REAL on-chip generation -> pipeline_p50_ms_with_generation
-             "--local-llm", "128", "--local-llm-quant", "int4"],
+             "--local-llm", "128", "--local-llm-quant", "int4",
+             # staged batch answer eval (cli.py --batch-answers shape:
+             # one retrieval stream -> rerank -> 4-row bucketed decodes)
+             # -> answer_eval_qps; rerank-dominated, ~4 min warm
+             "--answer-eval", "32", "--gen-batch", "4"],
             capture_output=True, text=True, timeout=PIPELINE_BUDGET_S,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
