@@ -117,6 +117,13 @@ def main() -> None:
 
     from easyrag_tpu.index.sparse import build_sparse_index
     from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
+    from easyrag_tpu.utils.compile_cache import enable_compile_cache
+
+    # persistent executable cache (verified to round-trip through the axon
+    # remote-compile tunnel): the driver's bench run loads the big-graph
+    # executables this session already compiled instead of re-paying
+    # minutes-per-graph; subprocess tools enable it themselves
+    enable_compile_cache()
 
     rng = np.random.default_rng(0)
     corpus = make_corpus(rng)

@@ -28,6 +28,12 @@ class TPUConfig:
     accum_dtype: str = "float32"
     # use Pallas kernels where available (else pure-XLA fallbacks)
     use_pallas: bool = True
+    # persistent XLA executable cache directory ("" = off). On a
+    # remote-attached TPU every 7B-scale graph compile costs minutes to
+    # tens of minutes and is NOT cached across processes; with this set,
+    # reboots load the serialized executables from disk instead
+    # (utils/compile_cache.py — verified through the axon tunnel)
+    compile_cache_dir: str = ""
     # max tokenized query terms / gathered postings per query (static shapes)
     max_query_terms: int = 64
     max_query_postings: int = 32768

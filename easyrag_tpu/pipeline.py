@@ -82,6 +82,12 @@ class EasyRAGPipeline:
 
     def _init(self, llm, embed_model, reranker, documents) -> None:
         cfg = self.config
+        if cfg.tpu.compile_cache_dir:
+            # before any model load/compile: boot-time executables (decode
+            # buckets, rerank graphs) then come from disk on reboot
+            from .utils.compile_cache import enable_compile_cache
+
+            enable_compile_cache(cfg.tpu.compile_cache_dir)
         self.re_only = cfg.re_only
         self.llm_embed_type = cfg.llm_embed_type
         self.r_topk_1 = cfg.r_topk_1

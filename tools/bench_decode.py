@@ -59,6 +59,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from easyrag_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # 7B graph compiles cost 10+ min on the tunnel
+
     from easyrag_tpu.models.decode import generate_greedy
     from easyrag_tpu.models.hf_loader import (
         quantize_linear_int4_device,

@@ -474,6 +474,10 @@ def build_system(
     opt-in; also halves the reranker's HBM (5.1 -> ~2.8 GiB)."""
     from types import SimpleNamespace
 
+    from easyrag_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # 7B graph compiles cost 10+ min on the tunnel
+
     import jax
     import jax.numpy as jnp
 
