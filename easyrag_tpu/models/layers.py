@@ -128,7 +128,12 @@ def _linear(
         for d in x.shape[:-1]:
             rows *= d
         n_out, half_in = p["w_p"].shape
-        if jax.default_backend() == "tpu" and i4.supported(rows, n_out, half_in):
+        # the kernel skips activation quant (decode is bandwidth-bound);
+        # the XLA fallback must mirror that at the SAME shapes so w4a8
+        # computes one function on every backend (advisor r4: CPU used to
+        # a8-quantize decode rows the TPU kernel ran in bf16)
+        kernel_shape = i4.supported(rows, n_out, half_in)
+        if jax.default_backend() == "tpu" and kernel_shape:
             y2 = i4.int4_matvec(
                 x.reshape(rows, x.shape[-1]), p["w_p"], p["scale"]
             )
@@ -137,7 +142,7 @@ def _linear(
             from .hf_loader import unpack_int4
 
             w = unpack_int4(p["w_p"])
-            if a8:
+            if a8 and not kernel_shape:
                 # w4a8 (prefill shapes): the unpacked nibble values are
                 # already s8, so dynamic per-token activation quant buys
                 # the MXU's 2x s8 x s8 rate exactly like the w8a8 path —

@@ -56,7 +56,15 @@ def _block_out(n_out: int, half_in: int) -> int:
     for bo in (1024, 512, 256, 128):
         if n_out % bo:
             continue
-        # 2 packed buffers (int8) + lo/hi unpacked (bf16, 2 bytes each)
+        # 2 packed buffers (int8) + lo/hi unpacked (bf16, 2 bytes each).
+        # The estimate deliberately EXCLUDES the kernel's int32 unpack
+        # intermediates (w.astype(int32) + the shifted lo/hi before the
+        # bf16 cast — up to +12 B/element if materialized): Mosaic fuses
+        # the elementwise unpack chain into the dot operand load, and the
+        # largest production shape (bo=128, half_in=9472, 7.3 MB by this
+        # formula) compiles and runs on hardware (BASELINE.md int4 decode).
+        # If a future Mosaic regression materializes the int32 tiles, this
+        # budget must grow a +3*4*bo*half_in term.
         if bo * half_in * (2 * 1 + 2 * 2) <= _VMEM_BUDGET:
             return bo
     return 0

@@ -600,9 +600,12 @@ class EasyRAGPipeline:
         (measured 7.7x aggregate tok/s at B=8, BASELINE.md).
 
         Falls back to the sequential ``run`` loop when the config can't
-        stage (non-default path, HyDE, no batch-capable local LLM).
-        Answer parity with the sequential path is pinned in
-        tests/test_pipeline_answers_batch.py.
+        stage (non-default path, HyDE, no batch-capable local LLM, or an
+        answer LLM that is NOT the local decoder — staging generates via
+        ``self.local_llm``, so it is only answer-equivalent when the
+        sequential path's ``self.llm`` is that same decoder). Answer
+        parity with the sequential path is pinned in
+        tests/test_gen_batch.py::test_run_answers_batch_matches_sequential.
         """
         gen = getattr(self, "local_llm", None)
         stageable = (
@@ -610,11 +613,32 @@ class EasyRAGPipeline:
             and not self.hyde
             and not self.hyde_merging
             and isinstance(self.sparse_retriever, BM25Retriever)
-            and (self.re_only or hasattr(gen, "generate_batch"))
+            and (
+                self.re_only
+                or (
+                    hasattr(gen, "generate_batch")
+                    and self._answers_via_local_llm()
+                )
+            )
         )
         if not stageable:
             return [await self.run(dict(q)) for q in queries]
         fused_lists = self._sparse_fused_batch(queries)
+        return await self._run_answers_staged(queries, fused_lists, gen)
+
+    def _answers_via_local_llm(self) -> bool:
+        """True when the sequential ``run()`` path's answer LLM IS the
+        local decoder — directly, or behind one of the batching wrappers
+        (both expose the decoder as ``.model``). Guards the staged batch
+        path: with ``local_llm_name`` set but ``tpu.local_llm_answer``
+        off, ``self.llm`` is the network client and staging would
+        silently answer with a different model (advisor r4, medium)."""
+        gen = getattr(self, "local_llm", None)
+        if gen is None:
+            return False
+        return self.llm is gen or getattr(self.llm, "model", None) is gen
+
+    async def _run_answers_staged(self, queries, fused_lists, gen):
         results = []
         prompts = []
         for q, fused in zip(queries, fused_lists):

@@ -114,6 +114,19 @@ def create_app(pipeline: EasyRAGPipeline):
     ):
         gen_batch = getattr(cfg.tpu, "local_llm_gen_batch", 8)
         sizes = [b for b in (1, 2, 4, 8, 16, 32) if b <= gen_batch] or [1]
+        if not getattr(cfg.tpu, "compile_cache_dir", ""):
+            # full-coverage warmup compiles every (bucket, B) pair; at 7B a
+            # single cold compile on a remote attachment costs minutes-to-
+            # tens-of-minutes (utils/compile_cache.py numbers) — without
+            # the persistent executable cache a cold boot can take hours
+            print(
+                "[serving] WARNING: tpu.local_llm_warmup is set but "
+                "tpu.compile_cache_dir is not — every (bucket, batch) "
+                "decode executable cold-compiles at boot. Set "
+                "tpu.compile_cache_dir so warm boots reuse compiled "
+                "executables.",
+                flush=True,
+            )
         # warm EVERY (bucket, B) pair the server can hit — real prompts
         # touch every bucket, and any cold pair lands a tens-of-seconds
         # compile on an unlucky request (the measured p99 spike; r3 warmed

@@ -368,3 +368,66 @@ def test_run_answers_batch_falls_back_when_unstageable(
     batch = loop.run_until_complete(pipeline.run_answers_batch([q]))
     assert batch[0]["answer"] == seq["answer"]
     assert batch[0]["answer"].endswith(batch[0]["contexts"][0])
+
+
+def test_run_answers_batch_falls_back_when_answer_llm_is_not_local(
+    tiny_causal_checkpoint, tmp_path
+):
+    """With ``local_llm_name`` set but the answer LLM being something else
+    (``tpu.local_llm_answer`` off / an injected network client), the staged
+    path must NOT generate via the local decoder — it falls back to the
+    sequential loop so both paths answer with the same model (advisor r4,
+    medium: divergent-answers hazard)."""
+    import json
+
+    from easyrag_tpu.config import EasyRAGConfig, TPUConfig
+    from easyrag_tpu.generation import CompletionResponse
+    from easyrag_tpu.pipeline import EasyRAGPipeline
+
+    root = tmp_path / "corpus"
+    (root / "director").mkdir(parents=True)
+    (root / "director" / "a.txt").write_text(
+        "w1 w2 w3\nw1 w2 w3 w4 w5。\n", encoding="utf-8"
+    )
+    (root / "director" / "b.txt").write_text(
+        "w7 w8\nw7 w8 w9。\n", encoding="utf-8"
+    )
+    (root / "director" / "c.txt").write_text(
+        "x1 x2\nx1 x2 x3。\n", encoding="utf-8"
+    )
+    (root / "pathmap.json").write_text(
+        json.dumps({"director/a.txt": ["k", "a"], "director/b.txt": ["k", "b"],
+                    "director/c.txt": ["k", "c"]}),
+        encoding="utf-8",
+    )
+
+    class NetworkLLM:
+        """Stand-in for the GLM-4 client: answers must come from HERE."""
+
+        async def acomplete(self, prompt: str):
+            return CompletionResponse(text="network-answer")
+
+    cfg = EasyRAGConfig(
+        retrieval_type=2,
+        use_reranker=0,
+        chunk_size=64,
+        chunk_overlap=10,
+        data_path=str(root),
+        f_topk_2=2,
+        f_topk_3=1,
+        local_llm_name=tiny_causal_checkpoint,  # built, but NOT the answerer
+        cache_path=str(tmp_path / "cache"),
+        tpu=TPUConfig(
+            use_pallas=False,
+            local_llm_quant="",
+            local_llm_max_new=4,
+            local_llm_gen_batch=2,
+        ),
+    )
+    pipeline = EasyRAGPipeline(cfg, llm=NetworkLLM())
+    assert pipeline.local_llm is not None  # the hazard configuration
+    assert not pipeline._answers_via_local_llm()
+    loop = asyncio.new_event_loop()
+    queries = [{"query": "w1 w2 w3"}, {"query": "w7 w8"}]
+    batch = loop.run_until_complete(pipeline.run_answers_batch(queries))
+    assert [r["answer"] for r in batch] == ["network-answer", "network-answer"]

@@ -232,6 +232,31 @@ def test_linear_int4_a8_matches_explicit_algebra():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_linear_int4_a8_skipped_at_kernel_shapes_on_every_backend():
+    """w4a8 at decode-sized rows: the TPU kernel never activation-quantizes
+    (bandwidth-bound), so the XLA fallback must skip the a8 branch at the
+    SAME shapes — quant='w4a8' computes one function on CPU and TPU
+    (advisor r4). At a kernel-supported shape, a8=True == weight-only."""
+    rng = np.random.default_rng(10)
+    w = rng.standard_normal((128, 256)).astype(np.float32) * 0.05
+    p = quantize_linear_int4(w)  # n_out=128, half_in=128: kernel-supported
+    x = jnp.asarray(
+        rng.standard_normal((4, 256)).astype(np.float32), jnp.bfloat16
+    )
+    got_a8 = np.asarray(_linear(x, p, a8=True), np.float32)
+    got_plain = np.asarray(_linear(x, p), np.float32)
+    np.testing.assert_array_equal(got_a8, got_plain)
+
+    # ...and at an UNsupported shape (rows > 64: prefill) a8 still applies
+    xb = jnp.asarray(
+        rng.standard_normal((80, 256)).astype(np.float32), jnp.bfloat16
+    )
+    assert not np.allclose(
+        np.asarray(_linear(xb, p, a8=True), np.float32),
+        np.asarray(_linear(xb, p), np.float32),
+    )
+
+
 def test_loader_w4a8_sets_act_quant_and_int4_leaves(tmp_path):
     """quant='w4a8' through JaxCausalLM: int4-packed matmuls + int8 embed
     (the int4 layout) AND cfg.act_quant on (the w8a8 prefill compute)."""
