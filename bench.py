@@ -15,15 +15,26 @@ Both sides consume identical pre-tokenized queries (jieba cost is common
 and excluded from both). Corpus is synthetic but statistically shaped like
 the zedx chunk corpus (~20k chunks, Zipfian vocabulary, ~300 tokens/chunk).
 
-Prints ONE JSON line: {"metric", "value" (our qps), "unit", "vs_baseline"}.
+Output contract (r5, VERDICT r4 #1): a CUMULATIVE JSON result line is
+printed after EVERY completed stage — the driver parses the LAST JSON line
+of the tail, so a wall-clock kill loses only the unfinished stages instead
+of the whole record (r4's single-print design produced ``parsed: null``
+when one cold compile overran). Stages run cheapest/warmest-first under a
+global deadline (``EASYRAG_BENCH_DEADLINE_S``, default 1500 s — the r4
+driver run was killed ~30 min in, so the budget is treated as 1800 s);
+subprocess stages get deadline-aware budgets and their partial output is
+salvaged on timeout.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+BENCH_DEADLINE_S = float(os.environ.get("EASYRAG_BENCH_DEADLINE_S", "1500"))
 
 N_DOCS = 20_000
 VOCAB = 40_000
@@ -112,22 +123,11 @@ class ReferenceBM25:
         return scores.argsort()[::-1][:k]
 
 
-def main() -> None:
-    import jax
-
+def bench_sparse(rng, corpus, queries) -> tuple:
+    """Headline metric: device-resident BM25 stream vs the reference CPU
+    cost model. Returns (ours_qps, vs_baseline)."""
     from easyrag_tpu.index.sparse import build_sparse_index
     from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
-    from easyrag_tpu.utils.compile_cache import enable_compile_cache
-
-    # persistent executable cache (verified to round-trip through the axon
-    # remote-compile tunnel): the driver's bench run loads the big-graph
-    # executables this session already compiled instead of re-paying
-    # minutes-per-graph; subprocess tools enable it themselves
-    enable_compile_cache()
-
-    rng = np.random.default_rng(0)
-    corpus = make_corpus(rng)
-    queries = make_queries(rng, corpus)
 
     # ---- baseline: reference CPU path (best of N passes over a widened
     # sample: machine-load noise must not inflate our ratio) ----
@@ -170,132 +170,337 @@ def main() -> None:
         done = run_all()
         best = min(best, time.perf_counter() - t0)
     ours_qps = done / best
+    return ours_qps, ours_qps / baseline_qps
 
-    dense_qps, dense_ratio = bench_dense(rng)
-    rr_ms, rr_mfu = bench_reranker()
-    # w8a8 is the production-recommended reranker config (BASELINE.md): the
-    # bench reports it alongside bf16 so a regression in EITHER is visible
-    rr_ms_w8a8, _ = bench_reranker(quant="w8a8")
 
-    print(
-        json.dumps(
-            {
-                "metric": "sparse_bm25_query_throughput_20k_docs_top192",
-                "value": round(ours_qps, 2),
-                "unit": "queries/s",
-                "vs_baseline": round(ours_qps / baseline_qps, 2),
-                "extra": {
-                    "dense_cosine_qps_20k_docs_3584d_top288": round(dense_qps, 2),
-                    "dense_vs_cpu_flat_scan": round(dense_ratio, 2),
-                    "reranker_2b_batch32x1064_cutoff28_ms": round(rr_ms, 1),
-                    "reranker_2b_w8a8_ms": round(rr_ms_w8a8, 1),
-                    "reranker_mfu_pct": round(rr_mfu, 1),
-                    "pipeline": bench_pipeline_budgeted(),
-                    "local_llm_decode": bench_decode_budgeted(),
-                    # the r4 production decode config: int4 weights +
-                    # the in-VMEM unpack kernel (ops/int4_matvec.py)
-                    "local_llm_decode_int4": bench_decode_budgeted("int4"),
-                },
-            }
+def main() -> None:
+    """Stage runner: run every metric cheapest/warmest-first under the
+    global deadline, printing the CUMULATIVE result line after each stage
+    (the driver keeps the last line it can parse — see module docstring)."""
+    from easyrag_tpu.utils.compile_cache import enable_compile_cache
+
+    # persistent executable cache (verified to round-trip through the axon
+    # remote-compile tunnel): the driver's bench run loads the big-graph
+    # executables this session already compiled instead of re-paying
+    # minutes-per-graph; subprocess tools enable it themselves
+    enable_compile_cache()
+
+    t_start = time.monotonic()
+    deadline = t_start + BENCH_DEADLINE_S
+
+    def remaining() -> float:
+        return deadline - time.monotonic()
+
+    result = {
+        "metric": "sparse_bm25_query_throughput_20k_docs_top192",
+        "value": 0.0,
+        "unit": "queries/s",
+        "vs_baseline": 0.0,
+        "extra": {"bench_deadline_s": BENCH_DEADLINE_S, "stages": {}},
+    }
+    extra, stages = result["extra"], result["extra"]["stages"]
+
+    def emit(stage: str, status: str) -> None:
+        stages[stage] = f"{status} @{time.monotonic() - t_start:.0f}s"
+        print(json.dumps(result), flush=True)
+
+    rng = np.random.default_rng(0)
+    corpus = make_corpus(rng)
+    queries = make_queries(rng, corpus)
+
+    # ---- stage 1: sparse (headline; fills value/vs_baseline) -------------
+    try:
+        ours_qps, ratio = bench_sparse(rng, corpus, queries)
+        result["value"] = round(ours_qps, 2)
+        result["vs_baseline"] = round(ratio, 2)
+        emit("sparse", "ok")
+    except Exception as e:  # noqa: BLE001
+        emit("sparse", f"error: {type(e).__name__}: {e}"[:160])
+
+    # ---- stage 2: dense ---------------------------------------------------
+    try:
+        if remaining() < 120:
+            raise TimeoutError(f"deadline: {remaining():.0f}s left")
+        dense_qps, dense_ratio = bench_dense(rng)
+        extra["dense_cosine_qps_20k_docs_3584d_top288"] = round(dense_qps, 2)
+        extra["dense_vs_cpu_flat_scan"] = round(dense_ratio, 2)
+        emit("dense", "ok")
+    except Exception as e:  # noqa: BLE001
+        emit("dense", f"error: {type(e).__name__}: {e}"[:160])
+
+    # ---- stage 3: real-query sparse (reference QA text, VERDICT r4 #4) ---
+    try:
+        if remaining() < 120:
+            raise TimeoutError(f"deadline: {remaining():.0f}s left")
+        rq = bench_real_queries()
+        if rq:
+            extra["sparse_real_zh_queries"] = rq
+        emit("sparse_real_queries", "ok" if rq else "skipped: no QA data")
+    except Exception as e:  # noqa: BLE001
+        emit("sparse_real_queries", f"error: {type(e).__name__}: {e}"[:160])
+
+    # ---- stages 4+5: reranker bf16, then w8a8 (the production config) ----
+    for quant in ("", "w8a8"):
+        name = "reranker_w8a8" if quant else "reranker_bf16"
+        try:
+            if remaining() < 240:
+                raise TimeoutError(f"deadline: {remaining():.0f}s left")
+            rr_ms, rr_mfu = bench_reranker(quant=quant)
+            if quant:
+                extra["reranker_2b_w8a8_ms"] = round(rr_ms, 1)
+            else:
+                extra["reranker_2b_batch32x1064_cutoff28_ms"] = round(rr_ms, 1)
+                extra["reranker_mfu_pct"] = round(rr_mfu, 1)
+            emit(name, "ok")
+        except Exception as e:  # noqa: BLE001
+            emit(name, f"error: {type(e).__name__}: {e}"[:160])
+
+    # ---- stages 6+7: decode subprocesses (int8 continuity, int4 prod) ----
+    for quant in ("int8", "int4"):
+        key = "local_llm_decode" if quant == "int8" else "local_llm_decode_int4"
+        budget = min(DECODE_BUDGET_S, remaining() - PIPELINE_RESERVE_S)
+        if budget < 120:
+            extra[key] = {"skipped": f"deadline: {remaining():.0f}s left"}
+            emit(f"decode_{quant}", "skipped (deadline)")
+            continue
+        extra[key] = bench_decode_budgeted(quant, budget)
+        emit(f"decode_{quant}", "ok" if "error" not in extra[key] else "error")
+
+    # ---- stage 8: the four-tenant pipeline (most expensive, runs last
+    # with everything that's left; its own output is cumulative too, so a
+    # kill inside still salvages the completed milestones) ------------------
+    budget = remaining() - 15
+    if budget < 120:
+        extra["pipeline"] = {"skipped": f"deadline: {remaining():.0f}s left"}
+        emit("pipeline", "skipped (deadline)")
+    else:
+        extra["pipeline"] = bench_pipeline_budgeted(budget)
+        emit("pipeline", "ok" if "skipped" not in extra["pipeline"] else "partial")
+
+
+def _run_tool(cmd: list, budget_s: float) -> tuple:
+    """Run a bench tool subprocess under ``budget_s``, returning
+    (stdout_lines, timed_out, returncode). Output goes through temp files
+    so a timeout still yields every line the tool flushed — the tools
+    print cumulative JSON as they go, which this salvages."""
+    import subprocess
+    import sys
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with tempfile.TemporaryFile(mode="w+") as out_f, \
+            tempfile.TemporaryFile(mode="w+") as err_f:
+        proc = subprocess.Popen(
+            [sys.executable, "-u"] + cmd, stdout=out_f, stderr=err_f, cwd=here,
         )
-    )
+        timed_out = False
+        try:
+            rc = proc.wait(timeout=max(budget_s, 1))
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            rc = proc.wait()
+            timed_out = True
+        out_f.seek(0)
+        err_f.seek(0)
+        lines = out_f.read().strip().splitlines()
+        if not any(l.startswith("{") for l in lines):
+            lines += err_f.read().strip().splitlines()[-3:]
+        return lines, timed_out, rc
 
 
 DECODE_BUDGET_S = 900
+PIPELINE_RESERVE_S = 420  # keep at least this much for the pipeline stage
 
 
-def bench_decode_budgeted(quant: str = "int8"):
+def bench_decode_budgeted(quant: str, budget_s: float):
     """On-chip generation metric (7B-Instruct-scale KV-cache decode,
     ``models/decode.py``) via ``tools/bench_decode.py`` in a budgeted
     subprocess — same isolation rationale as the pipeline metric.
     ``quant="int4"`` is the r4 production decode config (nibble-packed
     weights + the in-VMEM unpack matvec kernel, the fastest measured
     B=1 step); int8 stays reported for continuity."""
-    import json as _json
-    import os
-    import subprocess
-    import sys
+    lines, timed_out, rc = _run_tool(
+        ["tools/bench_decode.py", "--quant", quant,
+         "--batch", "1", "--prompt", "1024", "--new", "16", "--json",
+         "--spec", "7"],
+        budget_s,
+    )
+    # --spec emits a second JSON line (the speculative-decoding rows);
+    # merge every JSON line into one record. A stray '{'-prefixed
+    # non-JSON line (a dict repr, a JAX warning) must degrade to a
+    # skipped line, not abort the whole bench run.
+    out = {}
+    for line in lines:
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(parsed, dict):
+                out.update(parsed)
+    if timed_out:
+        out["partial"] = f"killed at budget {budget_s:.0f}s"
+    tail = " | ".join(lines[-2:])[-300:] if lines else ""
+    return out or {"error": f"no output (exit {rc}): {tail}"}
 
+
+def bench_pipeline_budgeted(budget_s: float):
+    """Whole-system co-resident metric (full ``run(query)`` p50 with the 2B
+    reranker + 7B int4 embedder + int4 generator + both indexes on one
+    chip — the four-tenant boot, ``configs/four_tenant.yaml``) via
+    ``tools/bench_pipeline.py`` in a budgeted subprocess. The tool prints
+    a cumulative JSON line after every milestone, so a budget kill yields
+    the finished milestones instead of nothing."""
     try:
-        proc = subprocess.run(
-            [sys.executable, "tools/bench_decode.py", "--quant", quant,
-             "--batch", "1", "--prompt", "1024", "--new", "16", "--json",
-             "--spec", "7"],
-            capture_output=True, text=True, timeout=DECODE_BUDGET_S,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+        lines, timed_out, rc = _run_tool(
+            # the named four-tenant preset (VERDICT r4 #5) carries the
+            # quant/cascade/generation knobs — w8a8 reranker + w4a8 7B
+            # embedder + int4 7B generator + carried cascade keep=32,
+            # gen_batch=4, 128 tokens/answer; the flags here are only the
+            # bench shape: 3 timed full-route queries, a 256-query
+            # retrieval stream, and a 32-query staged batch answer eval
+            # (cli.py --batch-answers shape) -> answer_eval_qps
+            ["tools/bench_pipeline.py",
+             "--preset", "configs/four_tenant.yaml",
+             "--queries", "3",
+             "--retrieval-queries", "256",
+             "--answer-eval", "32"],
+            budget_s,
         )
-        # --spec emits a second JSON line (the speculative-decoding rows);
-        # merge every JSON line into one record. A stray '{'-prefixed
-        # non-JSON line (a dict repr, a JAX warning) must degrade to a
-        # skipped line, not abort the whole bench run.
-        out = {}
-        for line in proc.stdout.strip().splitlines():
+        out = None
+        for line in reversed(lines):
             if line.startswith("{"):
                 try:
-                    parsed = _json.loads(line)
+                    out = json.loads(line)
+                    break
                 except ValueError:
                     continue
-                if isinstance(parsed, dict):
-                    out.update(parsed)
-        return out or {"error": (proc.stderr or proc.stdout)[-300:]}
-    except subprocess.TimeoutExpired:
-        return {"error": f"timeout after {DECODE_BUDGET_S}s"}
-
-
-PIPELINE_BUDGET_S = 3600  # compile-cache-warm runs finish well inside this
-# (raised in r4: the subprocess now also boots the int4 7B generator and
-# times the full route WITH on-chip generation — the four-tenant config)
-
-
-def bench_pipeline_budgeted():
-    """Whole-system co-resident metric (full ``run(query)`` p50 with the 2B
-    reranker + 7B int8 embedder + both indexes on one chip) via
-    ``tools/bench_pipeline.py`` in a budgeted subprocess — cold remote
-    compiles can take arbitrarily long on a congested attachment, and the
-    component metrics above must never be lost to a pipeline timeout."""
-    import os
-    import subprocess
-    import sys
-
-    try:
-        proc = subprocess.run(
-            [sys.executable, "tools/bench_pipeline.py", "--queries", "3",
-             "--retrieval-queries", "256",
-             # production-recommended quant config (tpu.reranker_quant /
-             # tpu.embedder_quant="w8a8"): s8xs8 projections, 2x MXU rate;
-             # rank stability pinned in tests/test_w8a8.py, bf16 numbers
-             # recorded alongside in BASELINE.md
-             "--reranker-quant", "w8a8", "--embedder-w8a8",
-             # int4 embedder storage (~3.8 vs 7.1 GiB): the headroom that
-             # lets the int4 7B generator co-reside (w4a8 embedder compute
-             # — act quant rides --embedder-w8a8)
-             "--embedder-quant", "int4",
-             # carried cascade: stage 2 resumes from stage-1 hidden
-             # (-12.5% p50, ~1.2 GB transient — fits next to the w8a8
-             # tenants' 11.2 GiB)
-             "--cascade", "32", "--cascade-carry",
-             # the FOUR-tenant boot (VERDICT r3 #1): int4 7B generator
-             # (nibble-packed, ~4.3 GiB) co-resident with the int8 7B
-             # embedder + w8a8 reranker + indexes, full run(query) incl.
-             # REAL on-chip generation -> pipeline_p50_ms_with_generation
-             "--local-llm", "128", "--local-llm-quant", "int4",
-             # staged batch answer eval (cli.py --batch-answers shape:
-             # one retrieval stream -> rerank -> 4-row bucketed decodes)
-             # -> answer_eval_qps; rerank-dominated, ~4 min warm
-             "--answer-eval", "32", "--gen-batch", "4"],
-            capture_output=True, text=True, timeout=PIPELINE_BUDGET_S,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        for line in reversed(proc.stdout.strip().splitlines()):
-            if line.startswith("{"):
-                return json.loads(line)
-        err = (proc.stderr or "").strip().splitlines()
-        return {"skipped": f"no result line (exit {proc.returncode}): "
-                           + (err[-1][:200] if err else "")}
-    except subprocess.TimeoutExpired:
-        return {"skipped": f"budget {PIPELINE_BUDGET_S}s exceeded (cold compiles)"}
+        if out is None:
+            tail = " | ".join(lines[-2:])[-200:] if lines else ""
+            return {"skipped": f"no result line (exit {rc}): {tail}"}
+        if timed_out:
+            out["partial"] = f"killed at budget {budget_s:.0f}s"
+        return out
     except Exception as e:  # noqa: BLE001
         return {"skipped": f"{type(e).__name__}: {e}"[:200]}
+
+
+def bench_real_queries():
+    """Sparse qps with REAL query text (VERDICT r4 #4): the reference's QA
+    files (``/root/reference/src/data/question_new.jsonl`` + ``val.json``)
+    through jieba + HIT stopwords, scored against a synthetic corpus drawn
+    from the REAL question vocabulary distribution — the query-term side of
+    the measurement is the actual deployment distribution instead of
+    synthetic Zipf tokens. Returns {} when the QA files are absent."""
+    from easyrag_tpu.index.sparse import build_sparse_index
+    from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
+
+    qa_texts = _load_reference_questions()
+    if not qa_texts:
+        return {}
+
+    from easyrag_tpu.corpus.tokenizer import (
+        JiebaTokenizer,
+        default_stopwords,
+        tokenize_and_remove_stopwords,
+    )
+
+    tok = JiebaTokenizer()
+    stop = default_stopwords()
+    tokenized = [tokenize_and_remove_stopwords(tok, t, stop) for t in qa_texts]
+    tokenized = [t for t in tokenized if t]
+
+    # corpus drawn from the question vocabulary's empirical distribution
+    # (plus a synthetic long tail for realistic postings skew), so the real
+    # queries actually hit postings of realistic length
+    vocab, counts = {}, []
+    for toks in tokenized:
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = len(vocab)
+                counts.append(0)
+            counts[vocab[t]] += 1
+    words = list(vocab)
+    probs = np.array(counts, np.float64)
+    probs /= probs.sum()
+    rng = np.random.default_rng(1)
+    lengths = rng.poisson(DOC_LEN_MEAN, size=N_DOCS).clip(30)
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    # 70% real-vocab tokens, 30% tail filler (realistic vocab breadth)
+    flat_real = rng.choice(len(words), size=int(bounds[-1]), p=probs)
+    names = np.array(words + [f"f{t}" for t in range(VOCAB)])
+    filler = rng.integers(len(words), len(names), size=int(bounds[-1]))
+    pick = rng.random(int(bounds[-1])) < 0.7
+    flat = np.where(pick, flat_real, filler)
+    flat_names = names[flat]
+    corpus = [
+        flat_names[bounds[i]: bounds[i + 1]].tolist() for i in range(N_DOCS)
+    ]
+
+    index = build_sparse_index(corpus, bm25_type=0)
+    resident = ResidentSparseIndex(
+        index, max_query_terms=16, heavy_hbm_budget=1 << 30
+    )
+    # repeat the question set out to a stream worth of queries
+    reps = max(1, N_QUERIES // max(len(tokenized), 1))
+    stream = (tokenized * reps)[:N_QUERIES]
+
+    def run_all():
+        _, _, checksum, done = resident.stream_score_topk_device(
+            stream, TOPK, batch=BATCH
+        )
+        int(checksum)
+        return done
+
+    run_all()  # warmup/compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        done = run_all()
+        best = min(best, time.perf_counter() - t0)
+    return {
+        "qps": round(done / best, 2),
+        "n_unique_questions": len(tokenized),
+        "mean_terms_per_query": round(
+            float(np.mean([len(t) for t in tokenized])), 2
+        ),
+    }
+
+
+def _load_reference_questions(limit: int = 2000) -> list:
+    """Question strings from the reference's QA data if readable (list of
+    str; [] when absent). Reads ``question_new.jsonl`` (test split) and
+    ``val.json`` (keyword-eval split) — ``/root/reference/src/main.py:12-18``."""
+    import pathlib
+
+    base = pathlib.Path(
+        os.environ.get("EASYRAG_QA_DIR", "/root/reference/src/data")
+    )
+    texts = []
+    jl = base / "question_new.jsonl"
+    if jl.is_file():
+        for line in jl.read_text(encoding="utf-8").splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            q = rec.get("query") or rec.get("question")
+            if q:
+                texts.append(q)
+    vj = base / "val.json"
+    if vj.is_file():
+        try:
+            recs = json.loads(vj.read_text(encoding="utf-8"))
+        except ValueError:
+            recs = []
+        for rec in recs if isinstance(recs, list) else []:
+            q = rec.get("query") or rec.get("question")
+            if q:
+                texts.append(q)
+    return texts[:limit]
 
 
 def bench_dense(rng) -> tuple:

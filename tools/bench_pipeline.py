@@ -633,6 +633,44 @@ def make_query(sys_ns):
     return " ".join(toks[i] for i in take)
 
 
+def apply_preset(args, argv=None) -> None:
+    """Map a yaml config preset's knobs onto this tool's flags, so the
+    flagship deployment is reproducible in one token
+    (``--preset configs/four_tenant.yaml``). A flag the user passed
+    explicitly on the command line wins over the preset."""
+    import yaml
+
+    with open(args.preset, encoding="utf-8") as f:
+        raw = yaml.safe_load(f) or {}
+    tpu = raw.get("tpu", {}) or {}
+    explicit = set(sys.argv[1:] if argv is None else argv)
+
+    def default_only(flag, value):
+        if "--" + flag.replace("_", "-") not in explicit:
+            setattr(args, flag, value)
+
+    eq = tpu.get("embedder_quant", "")
+    if eq == "w4a8":
+        default_only("embedder_quant", "int4")
+        default_only("embedder_w8a8", True)
+    elif eq == "w8a8":
+        default_only("embedder_quant", "int8")
+        default_only("embedder_w8a8", True)
+    elif eq:
+        default_only("embedder_quant", eq)
+    if tpu.get("reranker_quant") in ("w8a8",):
+        default_only("reranker_quant", tpu["reranker_quant"])
+    if raw.get("r_use_efficient") == 3:
+        default_only("cascade", int(tpu.get("cascade_keep", 32)))
+        default_only("cascade_carry", bool(tpu.get("cascade_carry", False)))
+    if raw.get("local_llm_name") and tpu.get("local_llm_answer"):
+        default_only("local_llm", int(tpu.get("local_llm_max_new", 128)))
+        default_only("local_llm_quant", tpu.get("local_llm_quant", "int8"))
+        default_only("gen_batch", int(tpu.get("local_llm_gen_batch", 8)))
+    if tpu.get("compile_cache_dir"):
+        os.environ.setdefault("EASYRAG_COMPILE_CACHE", tpu["compile_cache_dir"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=20_000)
@@ -676,7 +714,15 @@ def main():
     ap.add_argument("--cascade", type=int, default=0, metavar="KEEP",
                     help="also time the two-stage cascade "
                          "(use_efficient=3) with this cascade_keep")
+    ap.add_argument("--preset", default="",
+                    help="yaml config preset whose quant/cascade/local-llm "
+                         "knobs set the corresponding flags — "
+                         "configs/four_tenant.yaml reproduces the flagship "
+                         "four-tenant boot in one token (VERDICT r4 #5); "
+                         "explicit flags still override")
     args = ap.parse_args()
+    if args.preset:
+        apply_preset(args)
 
     import jax
     import jax.numpy as jnp
@@ -692,6 +738,31 @@ def main():
     loop = asyncio.new_event_loop()
     queries = [make_query(ns) for _ in range(max(args.queries, 3))]
 
+    # CUMULATIVE result emission (VERDICT r4 #1): the driver-side wrapper
+    # (bench.py) keeps the LAST JSON line this tool printed, so a budget
+    # kill mid-run salvages every milestone already measured instead of
+    # losing the whole record. Every milestone below updates `summary` and
+    # re-prints it; the final print is just the last cumulative line.
+    summary = {
+        "pipeline_p50_ms_cutoff28": None,
+        "pipeline_p50_ms_exit12": None,
+        "pipeline_p50_ms_exit_declined": None,
+        "pipeline_p50_ms_cascade": None,
+        "pipeline_p50_ms_with_generation": (
+            None if args.local_llm else "not run (needs --local-llm)"
+        ),
+        "local_llm_quant": args.local_llm_quant if args.local_llm else None,
+        "answer_eval_qps": None,
+        "answer_eval_n": args.answer_eval or None,
+        "retrieval_only_qps_coresident": None,
+        "dense_route_incl_embed_qps": None,
+        "hbm_bytes_in_use": ns.hbm_used,
+        "n_nodes": n_nodes,
+    }
+
+    def emit_summary(**kv):
+        summary.update(kv)
+        print(json.dumps(summary), flush=True)
 
     # ---- retrieval-only batch qps co-resident ----------------------------
     saved_rr = pipeline.reranker
@@ -705,6 +776,7 @@ def main():
     retr_qps = len(rq) / (time.perf_counter() - t0)
     pipeline.reranker = saved_rr
     print(f"[retrieval-only] {retr_qps:.0f} qps co-resident", flush=True)
+    emit_summary(retrieval_only_qps_coresident=round(retr_qps, 1))
 
     # ---- full run(query) p50: cutoff 28 ----------------------------------
     def timed_runs(tag, n):
@@ -729,6 +801,7 @@ def main():
     print("[full route] compiling the rerank path...", flush=True)
     loop.run_until_complete(pipeline.run({"query": queries[0]}))
     p50_full = timed_runs("full route, cutoff 28", args.queries)
+    emit_summary(pipeline_p50_ms_cutoff28=round(p50_full * 1000, 1))
 
     p50_exit = p50_noexit = None
     if not args.skip_exit:
@@ -749,6 +822,10 @@ def main():
         p50_noexit = timed_runs("full route, exit declined", max(3, args.queries // 2))
         scorer.use_efficient = 0
         reranker.use_efficient = 0
+        emit_summary(
+            pipeline_p50_ms_exit12=round(p50_exit * 1000, 1),
+            pipeline_p50_ms_exit_declined=round(p50_noexit * 1000, 1),
+        )
 
     # ---- two-stage cascade (use_efficient=3, TPU extension) --------------
     p50_cascade = None
@@ -763,6 +840,7 @@ def main():
             args.queries,
         )
         reranker.use_efficient = 0
+        emit_summary(pipeline_p50_ms_cascade=round(p50_cascade * 1000, 1))
 
     # ---- full route + REAL on-chip generation ----------------------------
     p50_gen = None
@@ -794,6 +872,10 @@ def main():
                 + (f", cascade keep={args.cascade}" if args.cascade else "")
                 + ")",
                 args.queries,
+            )
+            emit_summary(
+                pipeline_p50_ms_with_generation=round(p50_gen * 1000, 1),
+                hbm_bytes_in_use=used,
             )
             # ---- staged batch answer-eval (VERDICT r3 #7) -------------
             # cli.py --batch-answers shape: the whole query set through
@@ -829,11 +911,14 @@ def main():
                     f"(sequential p50 was {p50_gen:.2f}s/query)",
                     flush=True,
                 )
+                emit_summary(answer_eval_qps=round(answer_eval_qps, 3))
             reranker.use_efficient = 0
             pipeline.llm = saved_llm
         except Exception as e:  # noqa: BLE001
             gen_error = f"{type(e).__name__}: {e}"[:200]
             print(f"[full route + generation] FAILED: {gen_error}", flush=True)
+            if p50_gen is None:
+                emit_summary(pipeline_p50_ms_with_generation=gen_error)
 
     # ---- dense route incl. query embedding (short-seq bucket) ------------
     dense_route = None
@@ -876,26 +961,16 @@ def main():
             flush=True,
         )
 
-    print(json.dumps({
-        "pipeline_p50_ms_cutoff28": round(p50_full * 1000, 1),
-        "pipeline_p50_ms_exit12": round(p50_exit * 1000, 1) if p50_exit else None,
-        "pipeline_p50_ms_exit_declined": round(p50_noexit * 1000, 1) if p50_noexit else None,
-        "pipeline_p50_ms_cascade": round(p50_cascade * 1000, 1) if p50_cascade else None,
-        # --local-llm --local-llm-quant int4: the FOUR-tenant boot (int4
-        # generator co-fits with the int8 7B embedder); int8 still needs
-        # --skip-embedder
-        "pipeline_p50_ms_with_generation": round(p50_gen * 1000, 1) if p50_gen
-        else locals().get("gen_error", "not run (needs --local-llm)"),
-        "local_llm_quant": args.local_llm_quant if args.local_llm else None,
-        # staged batch answer-eval (cli.py --batch-answers shape): wall-qps
-        # incl. retrieval + rerank + gen_batch-row generation
-        "answer_eval_qps": round(locals().get("answer_eval_qps", 0), 3) or None,
-        "answer_eval_n": args.answer_eval or None,
-        "retrieval_only_qps_coresident": round(retr_qps, 1),
-        "dense_route_incl_embed_qps": round(dense_route, 1) if dense_route else None,
-        "hbm_bytes_in_use": used,
-        "n_nodes": n_nodes,
-    }))
+    # final cumulative line (identical key set to every partial line above;
+    # --local-llm --local-llm-quant int4 is the FOUR-tenant boot: the int4
+    # generator co-fits with the int8/int4 7B embedder, int8 generation
+    # still needs --skip-embedder)
+    emit_summary(
+        dense_route_incl_embed_qps=(
+            round(dense_route, 1) if dense_route else None
+        ),
+        hbm_bytes_in_use=used,
+    )
 
 
 if __name__ == "__main__":
