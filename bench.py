@@ -126,11 +126,20 @@ class ReferenceBM25:
 def bench_sparse(rng, corpus, queries) -> tuple:
     """Headline metric: device-resident BM25 stream vs the reference CPU
     cost model. Returns (ours_qps, vs_baseline)."""
+    import sys
+
     from easyrag_tpu.index.sparse import build_sparse_index
     from easyrag_tpu.ops.bm25_resident import ResidentSparseIndex
 
+    def note(msg):
+        # stderr progress markers: a hang inside this stage must be
+        # attributable from the driver log (r5: a cold stream-graph compile
+        # stalled silently for tens of minutes)
+        print(f"[sparse] {msg}", file=sys.stderr, flush=True)
+
     # ---- baseline: reference CPU path (best of N passes over a widened
     # sample: machine-load noise must not inflate our ratio) ----
+    note("cpu baseline...")
     ref = ReferenceBM25(corpus)
     best = float("inf")
     for _ in range(BASELINE_PASSES):
@@ -142,6 +151,7 @@ def bench_sparse(rng, corpus, queries) -> tuple:
 
     # ---- ours: device-resident index (HBM postings; queries ship only
     # term ids + counts, a few KB per batch) ----
+    note(f"cpu baseline {baseline_qps:.0f} qps; building device index...")
     index = build_sparse_index(corpus, bm25_type=0)
     # retrieval-only deployment owns the chip's HBM: a 1 GB heavy budget
     # lets the auto light_cap land on the measured optimum (64 at this
@@ -163,7 +173,9 @@ def bench_sparse(rng, corpus, queries) -> tuple:
         int(checksum)  # device->host scalar: full pipeline barrier
         return done
 
+    note("index resident; compiling + warming the stream graph...")
     run_all()  # warmup/compile
+    note("warm; timing...")
     best = float("inf")
     for _ in range(2):  # best-of-2: the tunnel round trip is noisy
         t0 = time.perf_counter()
@@ -204,12 +216,19 @@ def main() -> None:
         stages[stage] = f"{status} @{time.monotonic() - t_start:.0f}s"
         print(json.dumps(result), flush=True)
 
+    def note(stage: str) -> None:
+        import sys
+
+        print(f"[bench] {stage} starting @{time.monotonic() - t_start:.0f}s",
+              file=sys.stderr, flush=True)
+
     rng = np.random.default_rng(0)
     corpus = make_corpus(rng)
     queries = make_queries(rng, corpus)
 
     # ---- stage 1: sparse (headline; fills value/vs_baseline) -------------
     try:
+        note("sparse")
         ours_qps, ratio = bench_sparse(rng, corpus, queries)
         result["value"] = round(ours_qps, 2)
         result["vs_baseline"] = round(ratio, 2)
@@ -219,6 +238,7 @@ def main() -> None:
 
     # ---- stage 2: dense ---------------------------------------------------
     try:
+        note("dense")
         if remaining() < 120:
             raise TimeoutError(f"deadline: {remaining():.0f}s left")
         dense_qps, dense_ratio = bench_dense(rng)
@@ -230,6 +250,7 @@ def main() -> None:
 
     # ---- stage 3: real-query sparse (reference QA text, VERDICT r4 #4) ---
     try:
+        note("sparse_real_queries")
         if remaining() < 120:
             raise TimeoutError(f"deadline: {remaining():.0f}s left")
         rq = bench_real_queries()
@@ -243,6 +264,7 @@ def main() -> None:
     for quant in ("", "w8a8"):
         name = "reranker_w8a8" if quant else "reranker_bf16"
         try:
+            note(name)
             if remaining() < 240:
                 raise TimeoutError(f"deadline: {remaining():.0f}s left")
             rr_ms, rr_mfu = bench_reranker(quant=quant)
@@ -275,7 +297,9 @@ def main() -> None:
         emit("pipeline", "skipped (deadline)")
     else:
         extra["pipeline"] = bench_pipeline_budgeted(budget)
-        emit("pipeline", "ok" if "skipped" not in extra["pipeline"] else "partial")
+        st = ("skipped" if "skipped" in extra["pipeline"]
+              else "partial" if "partial" in extra["pipeline"] else "ok")
+        emit("pipeline", st)
 
 
 def _run_tool(cmd: list, budget_s: float) -> tuple:
@@ -409,6 +433,11 @@ def bench_real_queries():
     stop = default_stopwords()
     tokenized = [tokenize_and_remove_stopwords(tok, t, stop) for t in qa_texts]
     tokenized = [t for t in tokenized if t]
+    # real questions carry more distinct terms than the synthetic stream
+    # (measured max 19 vs the headline's 16-term cap, which raised in the
+    # r5 driver run); size the term slots to the actual distribution
+    mqt = max(len(set(t)) for t in tokenized)
+    mqt = (mqt + 7) // 8 * 8
 
     # corpus drawn from the question vocabulary's empirical distribution
     # (plus a synthetic long tail for realistic postings skew), so the real
@@ -439,7 +468,7 @@ def bench_real_queries():
 
     index = build_sparse_index(corpus, bm25_type=0)
     resident = ResidentSparseIndex(
-        index, max_query_terms=16, heavy_hbm_budget=1 << 30
+        index, max_query_terms=mqt, heavy_hbm_budget=1 << 30
     )
     # repeat the question set out to a stream worth of queries
     reps = max(1, N_QUERIES // max(len(tokenized), 1))

@@ -764,6 +764,11 @@ def main():
         summary.update(kv)
         print(json.dumps(summary), flush=True)
 
+    # first cumulative line BEFORE any timed work: a budget kill during the
+    # first compile must still salvage the boot facts (r5 driver run: the
+    # subprocess died building the system with zero JSON flushed)
+    emit_summary()
+
     # ---- retrieval-only batch qps co-resident ----------------------------
     saved_rr = pipeline.reranker
     pipeline.reranker = None
