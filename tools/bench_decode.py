@@ -144,6 +144,15 @@ def main():
         return best
 
     t_prefill = best_of(1)
+    if args.json:
+        import json
+
+        # cumulative emission (bench.py merges every JSON line): a budget
+        # kill during the longer full-decode compile still salvages prefill
+        print(json.dumps({
+            "prefill_tok_s": round(B * S / t_prefill, 0),
+            "batch": B, "prompt": S, "quant": args.quant,
+        }), flush=True)
     t_full = best_of(1 + N)
     dec = (t_full - t_prefill) / N
     print(
@@ -189,6 +198,12 @@ def main():
         # accept; this is the workload-dependent middle, not a floor
         t1 = best_of_spec(params, 1)
         tn = (best_of_spec(params, 1 + N) - t1) / N
+        if args.json:
+            import json
+
+            print(json.dumps({
+                "spec_k": K, "spec_tok_s_natural": round(B / tn, 1),
+            }), flush=True)
         # full acceptance: constant-argmax model (zeroed head) + a zero-run
         # prompt tail the drafter can copy from — every block emits K+1
         # tokens. Same weight bytes per step as real decode.
