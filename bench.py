@@ -388,7 +388,11 @@ def bench_pipeline_budgeted(budget_s: float):
              "--preset", "configs/four_tenant.yaml",
              "--queries", "3",
              "--retrieval-queries", "256",
-             "--answer-eval", "32"],
+             "--answer-eval", "32",
+             # the tool sheds its low-priority tail (exit/cascade/dense
+             # route) itself when the budget runs short, so the flagship
+             # metrics never get killed mid-measurement
+             "--budget", str(int(budget_s))],
             budget_s,
         )
         out = None

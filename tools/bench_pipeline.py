@@ -163,29 +163,52 @@ class LocalGenLLM:
                 int(out.sum())  # device->host scalar readback barrier
         return [f"[{self.max_new} tokens decoded on-chip]"] * len(prompts)
 
-    def warmup(self, batch_sizes=(1,), buckets=None):
-        """Pre-compile EVERY (bucket, B) executable the run can hit
-        (limit=1: full-length static shapes, one decode step) — the
-        tpu.local_llm_warmup boot behavior at bench scale. Warming only
-        the largest bucket measured as a 718 s p95: prompt lengths depend
-        on retrieved contexts, so timed queries land in other buckets."""
+    def plan_groups(self, prompts):
+        """The exact (bucket, padded-B) executables ``generate_batch``
+        would dispatch for these prompts, without running any of them —
+        lets the bench warm ONLY the pairs its recorded workload hits
+        (each warm big-graph load costs ~a minute through the axon
+        tunnel even on a persistent-cache hit, so full-coverage warmup
+        is the driver bench's budget eater)."""
+        groups = {}
+        for prompt in prompts:
+            n = len(self._encode(prompt))
+            bucket = next(b for b in self.buckets if n <= b)
+            groups.setdefault(bucket, []).append(n)
+        pairs = set()
+        for bucket, rows in groups.items():
+            for lo in range(0, len(rows), self.max_batch):
+                chunk = len(rows[lo : lo + self.max_batch])
+                pairs.add((bucket, 1 << (chunk - 1).bit_length()))
+        return sorted(pairs)
+
+    def warmup(self, batch_sizes=(1,), buckets=None, pairs=None):
+        """Pre-compile (bucket, B) executables (limit=1: full-length
+        static shapes, one decode step) — the tpu.local_llm_warmup boot
+        behavior at bench scale. ``pairs`` warms an exact recorded set
+        (see ``plan_groups``); otherwise every bucket x batch_size is
+        covered. Warming only the largest bucket measured as a 718 s
+        p95: prompt lengths depend on retrieved contexts, so timed
+        queries land in other buckets."""
         import jax.numpy as jnp
 
         from easyrag_tpu.models.decode import generate_greedy
 
-        for bucket in buckets or self.buckets:
-            for b in batch_sizes:
-                out = generate_greedy(
-                    self.cfg,
-                    self.params,
-                    jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
-                    jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
-                    jnp.asarray([-1], jnp.int32),
-                    self.max_new,
-                    limit=jnp.int32(1),
-                    active=jnp.arange(b) < b,
-                )
-                int(out.sum())
+        if pairs is None:
+            pairs = [(bucket, b) for bucket in (buckets or self.buckets)
+                     for b in batch_sizes]
+        for bucket, b in pairs:
+            out = generate_greedy(
+                self.cfg,
+                self.params,
+                jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
+                jnp.asarray([[0] * (bucket - 1) + [1]] * b, jnp.int32),
+                jnp.asarray([-1], jnp.int32),
+                self.max_new,
+                limit=jnp.int32(1),
+                active=jnp.arange(b) < b,
+            )
+            int(out.sum())
 
 
 def make_local_llm(max_new: int, tiny: bool = False, quant: str = "int8"):
@@ -714,6 +737,13 @@ def main():
     ap.add_argument("--cascade", type=int, default=0, metavar="KEEP",
                     help="also time the two-stage cascade "
                          "(use_efficient=3) with this cascade_keep")
+    ap.add_argument("--budget", type=float, default=0, metavar="S",
+                    help="wall-clock budget for this process (the driver "
+                         "bench passes its remaining deadline): once the "
+                         "flagship metrics (with_generation + answer_eval) "
+                         "are in, the continuity variants (exit/cascade/"
+                         "dense-route) are skipped rather than risking a "
+                         "mid-measurement kill")
     ap.add_argument("--preset", default="",
                     help="yaml config preset whose quant/cascade/local-llm "
                          "knobs set the corresponding flags — "
@@ -721,6 +751,14 @@ def main():
                          "four-tenant boot in one token (VERDICT r4 #5); "
                          "explicit flags still override")
     args = ap.parse_args()
+    t_proc0 = time.monotonic()
+
+    def over_budget(margin_s: float) -> bool:
+        """True when fewer than ``margin_s`` seconds of --budget remain."""
+        if not args.budget:
+            return False
+        return time.monotonic() - t_proc0 > args.budget - margin_s
+
     if args.preset:
         apply_preset(args)
 
@@ -758,10 +796,13 @@ def main():
         "dense_route_incl_embed_qps": None,
         "hbm_bytes_in_use": ns.hbm_used,
         "n_nodes": n_nodes,
+        "elapsed_s": 0,
     }
+    t_main0 = time.monotonic()
 
     def emit_summary(**kv):
         summary.update(kv)
+        summary["elapsed_s"] = round(time.monotonic() - t_main0, 1)
         print(json.dumps(summary), flush=True)
 
     # first cumulative line BEFORE any timed work: a budget kill during the
@@ -808,7 +849,112 @@ def main():
     p50_full = timed_runs("full route, cutoff 28", args.queries)
     emit_summary(pipeline_p50_ms_cutoff28=round(p50_full * 1000, 1))
 
+    # ---- full route + REAL on-chip generation ----------------------------
+    # (runs BEFORE the exit/cascade p50 variants: with_generation +
+    # answer_eval_qps are the verdict-demanded flagship metrics, so a
+    # driver budget kill must lose the continuity variants, not these)
+    p50_gen = None
+    if args.local_llm:
+        # exception-safe: a four-tenant OOM must degrade to an error
+        # string in the JSON, not kill the other metrics
+        try:
+            local = make_local_llm(
+                args.local_llm, tiny=args.tiny, quant=args.local_llm_quant
+            )
+            account(f"local_llm_7b_{args.local_llm_quant}", local.params)
+            used = hbm_stats("with local LLM loaded")
+            saved_llm = pipeline.llm
+            pipeline.llm = local
+            if args.cascade:  # generation on the fastest full-quality mode
+                reranker.use_efficient = 3
+                reranker.cascade_keep = args.cascade
+                reranker.cascade_carry = args.cascade_carry
+            # RECORDED warmup (r5): an unwarmed (bucket, B) lands a cold
+            # multi-minute remote compile INSIDE the timed window
+            # (measured: a 718 s p95), but warming every pair costs ~a
+            # minute per big-graph cache load through the tunnel — the
+            # driver bench's budget eater. So run the timed queries once
+            # with generation swapped for a prompt recorder (retrieval +
+            # rerank run for REAL, compiling that path), then warm ONLY
+            # the (bucket, B=1) executables the recorded prompts hit.
+            rec_seq = []
+            real_gb = local.generate_batch
+            local.generate_batch = (
+                lambda ps: (rec_seq.extend(ps), [""] * len(ps))[1]
+            )
+            for q in queries:
+                loop.run_until_complete(pipeline.run({"query": q}))
+            local.generate_batch = real_gb
+            seq_pairs = sorted(
+                {p for pr in rec_seq for p in local.plan_groups([pr])}
+            )
+            print("[full route + generation] warming recorded pairs "
+                  f"{seq_pairs}...", flush=True)
+            local.warmup(pairs=seq_pairs)
+            loop.run_until_complete(pipeline.run({"query": queries[0]}))
+            p50_gen = timed_runs(
+                f"full route + ON-CHIP generation (max_new={args.local_llm}, "
+                f"prompt~{local.prompt_tokens} tok, {args.local_llm_quant}"
+                + (f", cascade keep={args.cascade}" if args.cascade else "")
+                + ")",
+                args.queries,
+            )
+            emit_summary(
+                pipeline_p50_ms_with_generation=round(p50_gen * 1000, 1),
+                hbm_bytes_in_use=used,
+            )
+            # ---- staged batch answer-eval (VERDICT r3 #7) -------------
+            # cli.py --batch-answers shape: the whole query set through
+            # run_answers_batch (one retrieval stream -> rerank ->
+            # gen_batch-row bucketed decodes) — the reference's batch eval
+            # is a sequential per-query loop (src/main.py:48-52)
+            if args.answer_eval:
+                pipeline.local_llm = local
+                local.max_batch = args.gen_batch
+                aq = [{"query": make_query(ns)}
+                      for _ in range(args.answer_eval)]
+                # recorder pass: every prompt built through the REAL
+                # staged retrieval + rerank (warming that path), then warm
+                # exactly the (bucket, pow2-padded B) pairs the timed pass
+                # will dispatch (plan_groups replays generate_batch's own
+                # grouping, so the set is exact, not a guess)
+                rec_aq = []
+                local.generate_batch = (
+                    lambda ps: (rec_aq.extend(ps), [""] * len(ps))[1]
+                )
+                loop.run_until_complete(pipeline.run_answers_batch(aq))
+                local.generate_batch = real_gb
+                ae_pairs = [p for p in local.plan_groups(rec_aq)
+                            if p not in seq_pairs]
+                print(f"[answer eval] warming recorded pairs {ae_pairs} "
+                      f"({args.gen_batch}-row decode)...", flush=True)
+                local.warmup(pairs=ae_pairs)
+                t0 = time.perf_counter()
+                res = loop.run_until_complete(pipeline.run_answers_batch(aq))
+                wall = time.perf_counter() - t0
+                assert len(res) == len(aq) and all(r["answer"] for r in res)
+                answer_eval_qps = len(aq) / wall
+                print(
+                    f"[answer eval] {len(aq)} queries incl. retrieval + "
+                    f"rerank + {args.local_llm}-token generation in "
+                    f"{wall:.1f}s -> {answer_eval_qps:.3f} qps "
+                    f"(sequential p50 was {p50_gen:.2f}s/query)",
+                    flush=True,
+                )
+                emit_summary(answer_eval_qps=round(answer_eval_qps, 3))
+            reranker.use_efficient = 0
+            pipeline.llm = saved_llm
+        except Exception as e:  # noqa: BLE001
+            gen_error = f"{type(e).__name__}: {e}"[:200]
+            print(f"[full route + generation] FAILED: {gen_error}", flush=True)
+            if p50_gen is None:
+                emit_summary(pipeline_p50_ms_with_generation=gen_error)
+
+    # ---- early-exit p50 variants (r3 continuity) --------------------------
     p50_exit = p50_noexit = None
+    if over_budget(180):
+        print("[exit variants] skipped (budget)", flush=True)
+        args.skip_exit = True
     if not args.skip_exit:
         # early exit ON, exit TAKEN: t=0 -> the layer-12 judge always fires
         # (random weights can't produce the checkpoint's score distribution,
@@ -834,6 +980,9 @@ def main():
 
     # ---- two-stage cascade (use_efficient=3, TPU extension) --------------
     p50_cascade = None
+    if args.cascade and over_budget(100):
+        print("[cascade] skipped (budget)", flush=True)
+        args.cascade = 0
     if args.cascade:
         reranker.use_efficient = 3
         reranker.cascade_keep = args.cascade
@@ -847,86 +996,11 @@ def main():
         reranker.use_efficient = 0
         emit_summary(pipeline_p50_ms_cascade=round(p50_cascade * 1000, 1))
 
-    # ---- full route + REAL on-chip generation ----------------------------
-    p50_gen = None
-    if args.local_llm:
-        # exception-safe: a four-tenant OOM must degrade to an error
-        # string in the JSON, not kill the other metrics
-        try:
-            local = make_local_llm(
-                args.local_llm, tiny=args.tiny, quant=args.local_llm_quant
-            )
-            account(f"local_llm_7b_{args.local_llm_quant}", local.params)
-            used = hbm_stats("with local LLM loaded")
-            saved_llm = pipeline.llm
-            pipeline.llm = local
-            if args.cascade:  # generation on the fastest full-quality mode
-                reranker.use_efficient = 3
-                reranker.cascade_keep = args.cascade
-            # warm EVERY (bucket, B=1) executable: the timed queries'
-            # prompt lengths depend on their retrieved contexts, so any
-            # unwarmed bucket lands a cold multi-minute remote compile
-            # INSIDE the timed window (measured: a 718 s p95)
-            print("[full route + generation] compiling prefill+decode "
-                  f"(buckets {list(local.buckets)} x B=1)...", flush=True)
-            local.warmup(batch_sizes=(1,))
-            loop.run_until_complete(pipeline.run({"query": queries[0]}))
-            p50_gen = timed_runs(
-                f"full route + ON-CHIP generation (max_new={args.local_llm}, "
-                f"prompt~{local.prompt_tokens} tok, {args.local_llm_quant}"
-                + (f", cascade keep={args.cascade}" if args.cascade else "")
-                + ")",
-                args.queries,
-            )
-            emit_summary(
-                pipeline_p50_ms_with_generation=round(p50_gen * 1000, 1),
-                hbm_bytes_in_use=used,
-            )
-            # ---- staged batch answer-eval (VERDICT r3 #7) -------------
-            # cli.py --batch-answers shape: the whole query set through
-            # run_answers_batch (one retrieval stream -> rerank ->
-            # gen_batch-row bucketed decodes) — the reference's batch eval
-            # is a sequential per-query loop (src/main.py:48-52)
-            if args.answer_eval:
-                pipeline.local_llm = local
-                local.max_batch = args.gen_batch
-                aq = [{"query": make_query(ns)}
-                      for _ in range(args.answer_eval)]
-                print(f"[answer eval] warming ({args.gen_batch}-row decode)...",
-                      flush=True)
-                # every (bucket, B) executable first: batch rows group by
-                # prompt bucket (pow2-padded tails -> B in {1,2,..,gen_batch}),
-                # and a 32-query eval WILL hit buckets the first gen_batch
-                # queries didn't
-                local.warmup(batch_sizes=tuple(
-                    b for b in (1, 2, 4, 8, 16) if b <= args.gen_batch
-                ))
-                loop.run_until_complete(
-                    pipeline.run_answers_batch(aq[: args.gen_batch])
-                )
-                t0 = time.perf_counter()
-                res = loop.run_until_complete(pipeline.run_answers_batch(aq))
-                wall = time.perf_counter() - t0
-                assert len(res) == len(aq) and all(r["answer"] for r in res)
-                answer_eval_qps = len(aq) / wall
-                print(
-                    f"[answer eval] {len(aq)} queries incl. retrieval + "
-                    f"rerank + {args.local_llm}-token generation in "
-                    f"{wall:.1f}s -> {answer_eval_qps:.3f} qps "
-                    f"(sequential p50 was {p50_gen:.2f}s/query)",
-                    flush=True,
-                )
-                emit_summary(answer_eval_qps=round(answer_eval_qps, 3))
-            reranker.use_efficient = 0
-            pipeline.llm = saved_llm
-        except Exception as e:  # noqa: BLE001
-            gen_error = f"{type(e).__name__}: {e}"[:200]
-            print(f"[full route + generation] FAILED: {gen_error}", flush=True)
-            if p50_gen is None:
-                emit_summary(pipeline_p50_ms_with_generation=gen_error)
-
     # ---- dense route incl. query embedding (short-seq bucket) ------------
     dense_route = None
+    if embed_params is not None and over_budget(100):
+        print("[dense route] skipped (budget)", flush=True)
+        embed_params = None
     if embed_params is not None:
         from easyrag_tpu.models.layers import forward_hidden
 
