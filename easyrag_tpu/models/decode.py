@@ -772,10 +772,24 @@ class JaxCausalLM:
                     out[i] = self._decode_row(list(toks[j].tolist()))
         return out  # type: ignore[return-value]
 
+    def plan_groups(self, queries: Sequence[str]) -> List[Tuple[int, int]]:
+        """The (bucket, group_size) dispatch plan ``generate_batch`` would
+        use for ``queries`` — same encode + bucket walk, no device work.
+        Serving warmup uses this to discover which executables a recorded
+        request mix can actually reach (an unwarmed pair is a multi-minute
+        cold compile inside the timed window)."""
+        groups: Dict[int, int] = {}
+        for q in queries:
+            ids = self._encode(q)
+            bucket = next(b for b in self.buckets if len(ids) <= b)
+            groups[bucket] = groups.get(bucket, 0) + 1
+        return sorted(groups.items())
+
     def warmup(
         self,
         buckets: Optional[Sequence[int]] = None,
         batch_sizes: Sequence[int] = (1,),
+        pairs: Optional[Sequence[Tuple[int, int]]] = None,
     ) -> None:
         """Pre-compile the (bucket, B) executables off the request path.
 
@@ -783,14 +797,20 @@ class JaxCausalLM:
         (measured as the p99 spike in the serving bench); a ``limit=1``
         call compiles the exact full-length executable — the static shape
         key is ``(bucket, B, max_new)`` — while running only prefill plus
-        one decode step.
+        one decode step. ``pairs`` warms an explicit (bucket, B) list
+        (recorded-warmup boot); otherwise the ``buckets`` × ``batch_sizes``
+        product is warmed.
         """
+        if pairs is not None:
+            work = [(bk, (b,)) for bk, b in pairs]
+        else:
+            work = [(bk, tuple(batch_sizes)) for bk in (buckets or self.buckets)]
         pad_id = self.tokenizer.pad_token_id or self.eos_ids[0]
-        for bucket in buckets or self.buckets:
+        for bucket, sizes in work:
             bucket = next(b for b in self.buckets if bucket <= b)
             max_new = self._bucket_max_new(bucket)
             dummy = _pad_left([self.eos_ids[0]], bucket, pad_id)
-            for b in batch_sizes:
+            for b in sizes:
                 rows = [dummy] * b
                 res = self._run_group(
                     [r for r, _ in rows], [m for _, m in rows],

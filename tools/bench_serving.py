@@ -123,6 +123,10 @@ def main():
                          "behavior; isolates steady-state from compiles)")
     args = ap.parse_args()
 
+    from easyrag_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()  # steady-state p99 must not pay cold compiles
+
     from easyrag_tpu.serving.api import create_app
 
     ns = build_system(tiny=args.tiny, docs=args.docs,
@@ -172,9 +176,31 @@ def main():
                 ns.pipeline.llm.warmup(buckets=gen.buckets)
                 sizes = "pool"
             else:
-                sizes = [b for b in (1, 2, 4, 8) if b <= max(args.gen_batch, 1)]
-                gen.warmup(batch_sizes=sizes)
-            print(f"gen warmup (B={sizes}): {time.perf_counter() - t0:.1f} s",
+                # RECORDED warmup (r5, same trick as bench_pipeline): run
+                # every request query once with generation swapped for a
+                # prompt recorder — retrieval + rerank run for REAL
+                # (pre-compiling that path too), then warm ONLY the
+                # (bucket, B) pairs the timed load can dispatch: recorded
+                # buckets x pow2 rows up to --gen-batch (coalesced B
+                # depends on arrival timing, so every B at a recorded
+                # bucket is reachable; unrecorded buckets are not). An
+                # unwarmed pair is a multi-minute cold remote compile
+                # INSIDE the timed window (r3's p99 63 s / 241 s).
+                rec = []
+                real_gb = gen.generate_batch
+                gen.generate_batch = (
+                    lambda ps: (rec.extend(ps), [""] * len(ps))[1]
+                )
+                wloop = asyncio.new_event_loop()
+                for q in queries:
+                    wloop.run_until_complete(ns.pipeline.run({"query": q}))
+                wloop.close()
+                gen.generate_batch = real_gb
+                rec_buckets = sorted({b for b, _ in gen.plan_groups(rec)})
+                bs = [x for x in (1, 2, 4, 8) if x <= max(args.gen_batch, 1)]
+                sizes = [(b, x) for b in rec_buckets for x in bs]
+                gen.warmup(pairs=sizes)
+            print(f"gen warmup ({sizes}): {time.perf_counter() - t0:.1f} s",
                   file=sys.stderr)
 
     ns.pipeline.config.serve_coalesce_rerank = not args.no_coalesce
