@@ -104,6 +104,20 @@ def main():
     mask = jnp.ones((B, S), jnp.int32)
     eos = jnp.asarray([-1], jnp.int32)
 
+    # fixed dispatch + scalar-readback cost of ONE timed call (the tunnel
+    # RTT, ~30 ms on this attachment) — subtracted so per-chain numbers
+    # reflect device time, matching how the loop row is measured
+    # ((t(1+N)-t(1))/N cancels its RTT by construction).
+    null = jax.jit(lambda x: jnp.sum(x))
+    xnull = jnp.ones((8,), jnp.float32)
+    float(null(xnull))
+    rtt = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(null(xnull))
+        rtt = min(rtt, time.perf_counter() - t0)
+    print(f"null dispatch+readback: {rtt * 1000:.2f} ms", flush=True)
+
     def timeit(name, f, fargs, per_chain=True):
         float(f(*fargs))  # compile + sync (axon ignores block_until_ready)
         best = float("inf")
@@ -111,11 +125,12 @@ def main():
             t0 = time.perf_counter()
             float(f(*fargs))
             best = min(best, time.perf_counter() - t0)
-        per = best / CHAIN if per_chain else best
+        per = max(best - rtt, 0.0) / CHAIN if per_chain else best
         print(f"{name}: {per * 1000:.2f} ms", flush=True)
         return per * 1000
 
-    res = {"quant": args.quant, "prompt": S, "chain": CHAIN}
+    res = {"quant": args.quant, "prompt": S, "chain": CHAIN,
+           "rtt_ms": round(rtt * 1000, 2)}
 
     # ---- matvecs only: the 7 projections x 28 layers, no attention ------
     @jax.jit
@@ -133,10 +148,12 @@ def main():
             return (o + d + jnp.sum(k) + jnp.sum(v)).astype(x.dtype), None
 
         def chain_body(x, _):
-            stacked = jax.tree.map(
-                lambda *ls: jnp.stack(ls), *p["layers"]
-            )
-            x, _ = jax.lax.scan(layer_mm, x, stacked)
+            # unrolled over layers, exactly like the real decode step —
+            # a scan over stacked weights would HBM-copy each layer's
+            # slice per iteration (measured: 12.1 vs 5.6 ms/step, a pure
+            # artifact) and take a different _linear code path.
+            for lp in p["layers"]:
+                x, _ = layer_mm(x, lp)
             return x, None
 
         x, _ = jax.lax.scan(chain_body, x0, None, length=CHAIN)
