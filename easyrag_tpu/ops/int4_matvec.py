@@ -52,19 +52,32 @@ _MAX_ROWS = 64  # past this the matmul is compute-bound: use the XLA path
 
 
 def _block_out(n_out: int, half_in: int) -> int:
-    """Largest output-block size that divides n_out and fits VMEM."""
+    """Largest output-block size that divides n_out and fits VMEM.
+
+    Largest-first was re-validated END-TO-END in r5 after an isolated
+    per-shape probe (``tools/exp_int4_unpack.py``) suggested the
+    opposite: in that probe (one pallas_call per matvec + a reduction
+    between calls) gate_proj [18944, 1792] measured 80.8 us at bo=512
+    vs 27.9 us at bo=128, but flipping this policy to smallest-first
+    REGRESSED the real decode step 6.41 -> 8.17 ms/step
+    (``tools/bench_decode.py --quant int4``). Inside the real 196-
+    matvec step the compiler pipelines consecutive kernels' DMAs, and
+    wide blocks (fewer grid steps) win; the isolated probe's per-call
+    boundaries reward deep single-kernel grids instead. Probe numbers
+    for THIS kernel are directional only — trust the product
+    measurement.
+
+    VMEM estimate: 2 packed buffers (int8, double-buffered) + lo/hi
+    unpacked (bf16, 2 bytes each). It deliberately EXCLUDES the int32
+    unpack intermediates (up to +12 B/element if materialized): Mosaic
+    fuses the elementwise unpack into the dot operand load, and the
+    largest production shape (bo=128, half_in=9472, 7.3 MB by this
+    formula) compiles and runs on hardware (BASELINE.md int4 decode).
+    If a future Mosaic regression materializes the int32 tiles, this
+    budget must grow a +3*4*bo*half_in term."""
     for bo in (1024, 512, 256, 128):
         if n_out % bo:
             continue
-        # 2 packed buffers (int8) + lo/hi unpacked (bf16, 2 bytes each).
-        # The estimate deliberately EXCLUDES the kernel's int32 unpack
-        # intermediates (w.astype(int32) + the shifted lo/hi before the
-        # bf16 cast — up to +12 B/element if materialized): Mosaic fuses
-        # the elementwise unpack chain into the dot operand load, and the
-        # largest production shape (bo=128, half_in=9472, 7.3 MB by this
-        # formula) compiles and runs on hardware (BASELINE.md int4 decode).
-        # If a future Mosaic regression materializes the int32 tiles, this
-        # budget must grow a +3*4*bo*half_in term.
         if bo * half_in * (2 * 1 + 2 * 2) <= _VMEM_BUDGET:
             return bo
     return 0
