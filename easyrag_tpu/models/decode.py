@@ -63,6 +63,16 @@ def _qkv(cfg: DecoderConfig, p: Dict[str, Any], h: jnp.ndarray):
     b, s, _ = h.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
     a8 = cfg.act_quant
+    if "qkv" in p:
+        # int4 fused projection (hf_loader.fuse_decode_tree): one packed
+        # matvec dispatch instead of three — the q/k/v column split is a
+        # free slice of the same per-output-channel results
+        y = _linear(h, p["qkv"], a8)
+        qd, kd = nh * hd, nkv * hd
+        q = y[..., :qd].reshape(b, s, nh, hd)
+        k = y[..., qd : qd + kd].reshape(b, s, nkv, hd)
+        v = y[..., qd + kd :].reshape(b, s, nkv, hd)
+        return q, k, v
     q = _linear(h, p["q"], a8).reshape(b, s, nh, hd)
     k = _linear(h, p["k"], a8).reshape(b, s, nkv, hd)
     v = _linear(h, p["v"], a8).reshape(b, s, nkv, hd)
@@ -641,6 +651,13 @@ class JaxCausalLM:
         self.params = load_decoder_params(
             model_dir, self.cfg.num_hidden_layers, dtype=dtype, quant=quant
         )
+        if quant in ("int4", "w4a8"):
+            # fuse q+k+v / gate+up packed matvecs: 196 -> 112 kernel
+            # dispatches per decode step, identical per-channel math
+            # (hf_loader.fuse_decode_tree)
+            from .hf_loader import fuse_decode_tree
+
+            self.params = fuse_decode_tree(self.params)
         self.tokenizer = AutoTokenizer.from_pretrained(
             model_dir, trust_remote_code=True
         )

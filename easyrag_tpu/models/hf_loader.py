@@ -171,6 +171,104 @@ def quantize_linear_int8_device(w: jnp.ndarray) -> Dict[str, Any]:
     return {"w_q": w_q, "scale": scale}
 
 
+def _fuse_packed_group(parts) -> Optional[Dict[str, Any]]:
+    """Concatenate int4-packed linears along the OUTPUT dim (or None).
+
+    Valid only when every part is the ``w_p`` form with the same input
+    width (they all consume the same activations) and bias presence
+    agrees. Per-output-channel scales/biases concatenate with the rows,
+    so the fused matvec computes exactly the same per-channel values.
+    """
+    if not all("w_p" in p for p in parts):
+        return None
+    if len({int(p["w_p"].shape[1]) for p in parts}) != 1:
+        return None
+    has_b = ["b" in p for p in parts]
+    if any(has_b) != all(has_b):
+        return None
+    fused = {
+        "w_p": jnp.concatenate([p["w_p"] for p in parts], axis=0),
+        "scale": jnp.concatenate([p["scale"] for p in parts], axis=0),
+    }
+    if all(has_b):
+        fused["b"] = jnp.concatenate([p["b"] for p in parts], axis=0)
+    return fused
+
+
+def fuse_decode_tree(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Fuse q+k+v and gate+up int4 linears into one packed matrix each.
+
+    B=1 int4 decode's entire gap to the weight-read roofline lives in
+    per-kernel dispatch overhead (ROADMAP: the r5 decomposition measured
+    matvecs-only at 5.87 of the 6.38 ms step — 196 dispatches averaging
+    66% of HBM bandwidth; argmax/rope/cache/glue cost ~nothing). q, k, v
+    read the same activations, as do gate and up, so concatenating their
+    packed rows turns 7 matvec dispatches per layer into 4 (196 -> 112
+    per 28-layer step) with bit-identical per-output-channel math: the
+    contraction, the per-channel scale, and the bias are all row-local.
+    The fused entries replace the originals (``attn.qkv``, ``mlp.gateup``)
+    so HBM holds one copy; ``layers.mlp`` / ``decode._qkv`` split the
+    output columns, and ``parallel.tp.shard_decoder_params`` splits the
+    rows back to name-addressed parts before Megatron sharding.
+
+    A group is only fused when the fused shape still rides the Pallas
+    in-VMEM unpack kernel (``ops.int4_matvec.supported``) — or when the
+    unfused parts never did (tiny/CPU shapes, where the XLA path computes
+    the fused form just as well). Never worse than unfused.
+
+    Reference scope: generation semantics of
+    ``/root/reference/src/easyrag/utils/llm_utils.py:58-73`` are
+    unchanged — this is a layout transform on the quantized tree.
+    """
+    from ..ops import int4_matvec as i4
+
+    def should_fuse(parts) -> bool:
+        half = int(parts[0]["w_p"].shape[1])
+        outs = [int(p["w_p"].shape[0]) for p in parts]
+        if i4.supported(1, sum(outs), half):
+            return True
+        return not all(i4.supported(1, o, half) for o in outs)
+
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        new = dict(layer)
+        attn = layer.get("attn", {})
+        if all(k in attn for k in ("q", "k", "v")):
+            fused = _fuse_packed_group([attn["q"], attn["k"], attn["v"]])
+            if fused is not None and should_fuse([attn["q"], attn["k"], attn["v"]]):
+                new["attn"] = {
+                    "qkv": fused,
+                    **{k: v for k, v in attn.items() if k not in ("q", "k", "v")},
+                }
+        mlp_p = layer.get("mlp", {})
+        if "gate" in mlp_p and "up" in mlp_p:
+            fused = _fuse_packed_group([mlp_p["gate"], mlp_p["up"]])
+            if fused is not None and should_fuse([mlp_p["gate"], mlp_p["up"]]):
+                new["mlp"] = {
+                    "gateup": fused,
+                    **{k: v for k, v in mlp_p.items() if k not in ("gate", "up")},
+                }
+        out["layers"].append(new)
+    return out
+
+
+def unfuse_linear(fused: Dict[str, Any], outs) -> list:
+    """Split a fused packed linear back into row blocks of sizes ``outs``."""
+    parts = []
+    start = 0
+    for n in outs:
+        part = {
+            "w_p": fused["w_p"][start : start + n],
+            "scale": fused["scale"][start : start + n],
+        }
+        if "b" in fused:
+            part["b"] = fused["b"][start : start + n]
+        parts.append(part)
+        start += n
+    return parts
+
+
 def quantize_decoder_tree(
     params: Dict[str, Any], quant: str = "int8"
 ) -> Dict[str, Any]:

@@ -217,9 +217,18 @@ def attention(
     b, s, _ = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
     a8 = cfg.act_quant
-    q = _linear(x, params["q"], a8).reshape(b, s, nh, hd)
-    k = _linear(x, params["k"], a8).reshape(b, s, nkv, hd)
-    v = _linear(x, params["v"], a8).reshape(b, s, nkv, hd)
+    if "qkv" in params:
+        # int4 fused projection (hf_loader.fuse_decode_tree): one packed
+        # dispatch; the q/k/v column split is a free slice
+        y = _linear(x, params["qkv"], a8)
+        qd, kd = nh * hd, nkv * hd
+        q = y[..., :qd].reshape(b, s, nh, hd)
+        k = y[..., qd : qd + kd].reshape(b, s, nkv, hd)
+        v = y[..., qd + kd :].reshape(b, s, nkv, hd)
+    else:
+        q = _linear(x, params["q"], a8).reshape(b, s, nh, hd)
+        k = _linear(x, params["k"], a8).reshape(b, s, nkv, hd)
+        v = _linear(x, params["v"], a8).reshape(b, s, nkv, hd)
     scale = (
         cfg.query_pre_attn_scalar ** -0.5 if cfg.query_pre_attn_scalar else hd ** -0.5
     )
@@ -365,9 +374,17 @@ def attention(
 
 def mlp(cfg: DecoderConfig, params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     a8 = cfg.act_quant
-    gate = _linear(x, params["gate"], a8)
+    if "gateup" in params:
+        # int4 fused gate+up (hf_loader.fuse_decode_tree): one packed
+        # matvec dispatch over [D, 2*I]; the column split is free
+        y = _linear(x, params["gateup"], a8)
+        inter = y.shape[-1] // 2
+        gate, up = y[..., :inter], y[..., inter:]
+    else:
+        gate = _linear(x, params["gate"], a8)
+        up = _linear(x, params["up"], a8)
     act = jax.nn.gelu(gate, approximate=True) if cfg.gemma else jax.nn.silu(gate)
-    return _linear(act * _linear(x, params["up"], a8), params["down"], a8)
+    return _linear(act * up, params["down"], a8)
 
 
 def decoder_layer(

@@ -70,17 +70,40 @@ def shard_decoder_params(
         "final_norm": jax.device_put(params["final_norm"], rep),
         "layers": [],
     }
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.hd
+
+    def attn_parts(attn):
+        if "qkv" in attn:
+            # int4 fused tree (hf_loader.fuse_decode_tree): split the
+            # packed rows back to name-addressed parts — Megatron column
+            # sharding needs q and kv head groups split separately
+            from ..models.hf_loader import unfuse_linear
+
+            q, k, v = unfuse_linear(attn["qkv"], [nh * hd, nkv * hd, nkv * hd])
+            return q, k, v
+        return attn["q"], attn["k"], attn["v"]
+
+    def mlp_parts(mlp_p):
+        if "gateup" in mlp_p:
+            from ..models.hf_loader import unfuse_linear
+
+            inter = mlp_p["gateup"]["scale"].shape[0] // 2
+            return unfuse_linear(mlp_p["gateup"], [inter, inter])
+        return mlp_p["gate"], mlp_p["up"]
+
     for layer in params["layers"]:
+        q_p, k_p, v_p = attn_parts(layer["attn"])
+        gate_p, up_p = mlp_parts(layer["mlp"])
         new = {
             "attn": {
-                "q": shard_dense(layer["attn"]["q"], col=True),
-                "k": shard_dense(layer["attn"]["k"], col=True),
-                "v": shard_dense(layer["attn"]["v"], col=True),
+                "q": shard_dense(q_p, col=True),
+                "k": shard_dense(k_p, col=True),
+                "v": shard_dense(v_p, col=True),
                 "o": shard_dense(layer["attn"]["o"], col=False),
             },
             "mlp": {
-                "gate": shard_dense(layer["mlp"]["gate"], col=True),
-                "up": shard_dense(layer["mlp"]["up"], col=True),
+                "gate": shard_dense(gate_p, col=True),
+                "up": shard_dense(up_p, col=True),
                 "down": shard_dense(layer["mlp"]["down"], col=False),
             },
         }

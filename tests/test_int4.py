@@ -298,7 +298,11 @@ def test_loader_w4a8_sets_act_quant_and_int4_leaves(tmp_path):
         max_new_tokens=4, buckets=(8,), max_batch=2,
     )
     assert llm.cfg.act_quant
-    assert "w_p" in llm.params["layers"][0]["attn"]["q"]
+    # JaxCausalLM fuses the int4 tree at load (hf_loader.fuse_decode_tree):
+    # q+k+v land in one packed "qkv" entry, gate+up in "gateup"
+    attn = llm.params["layers"][0]["attn"]
+    assert "w_p" in attn["qkv"] and "q" not in attn
+    assert "w_p" in llm.params["layers"][0]["mlp"]["gateup"]
     assert "w_q" in llm.params["embed"]
     text = llm.generate("w3 w1 w4")
     assert isinstance(text, str)

@@ -118,6 +118,12 @@ def main():
                     for name, lin in list(layer[group].items()):
                         rest = {k: v for k, v in lin.items() if k != "w"}
                         layer[group][name] = {**qdev(lin["w"]), **rest}
+        if args.quant in ("int4", "w4a8"):
+            # production layout (JaxCausalLM does the same): fused q+k+v /
+            # gate+up packed matvecs — 196 -> 112 dispatches per step
+            from easyrag_tpu.models.hf_loader import fuse_decode_tree
+
+            p = fuse_decode_tree(p)
         return p
 
     params = jax.jit(build)(jax.random.key(0))

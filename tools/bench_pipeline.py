@@ -237,7 +237,12 @@ def make_local_llm(max_new: int, tiny: bool = False, quant: str = "int8"):
         dtype=jnp.bfloat16, use_flash=jax.default_backend() != "cpu", **arch
     )
     if quant == "int4":
+        from easyrag_tpu.models.hf_loader import fuse_decode_tree
+
         params = jax.jit(_llm_tree_int4, static_argnums=0)(cfg, jax.random.key(31))
+        # production layout (JaxCausalLM does the same): fused q+k+v /
+        # gate+up packed matvecs — 196 -> 112 dispatches per decode step
+        params = fuse_decode_tree(params)
     else:
         params = make_embedder_params_int8(cfg, jax.random.key(31))
 
