@@ -186,6 +186,32 @@ def test_fusion_gate_never_loses_kernel_support():
     assert "qkv" in out["layers"][0]["attn"]
 
 
+def test_fused_tree_in_decode_pool_matches_solo():
+    """The serving path: a fused int4 tree through the continuous-batching
+    decode pool emits the same tokens as a solo run on the same tree."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_decode_pool import StubLLM, harvest, solo
+
+    from easyrag_tpu.models.decode_pool import DecodePool
+
+    cfg = tiny_cfg(num_key_value_heads=2)
+    fused = fuse_decode_tree(_int4_tree(cfg, jax.random.key(8)))
+    llm = StubLLM(cfg, fused, buckets=(4, 8), max_new=5)
+    pool = DecodePool(llm, pool_size=2, chunk_steps=2)
+    prompts = {"a": [3, 1, 4], "b": [1, 5, 9, 2, 6, 5]}
+    results = {}
+    pool.insert(prompts["a"], "a")
+    harvest(pool, results)
+    pool.insert(prompts["b"], "b")
+    while pool.active:
+        harvest(pool, results)
+    for name, prompt in prompts.items():
+        assert results[name] == solo(llm, prompt), name
+
+
 def test_fuse_skips_mixed_bias_and_non_int4():
     """bf16 trees and groups with inconsistent bias presence pass through."""
     cfg = tiny_cfg()
